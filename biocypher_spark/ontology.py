@@ -1,0 +1,189 @@
+"""Ontology layer: ancestor closures for multi-label `:LABEL` strings.
+
+The reference builds a networkx DAG from an OWL/TTL file via rdflib
+(/root/reference/biocypher/_ontology.py:92-176) and falls back to a headless
+``NullOntology`` whose ``get_ancestors(label) == [label]``
+(/root/reference/biocypher/_ontology.py:899-949).
+
+This module is driver-side only: the DAG is tiny (schema classes plus an
+optional local hierarchy file), so we compute the transitive ancestor list
+per label once and *broadcast* the resulting ``dict[label, list[label]]`` to
+executors. rdflib is not available in this sandbox and network fetches are
+forbidden, so hierarchy input is either:
+
+  * nothing (headless mode — the sane default), or
+  * a ``parent_map`` dict / YAML file ``{child: parent | [parents]}``, or
+  * a minimal Turtle file containing ``rdfs:subClassOf`` triples with
+    ``rdfs:label`` names (enough for the bundled test ontologies' shape).
+
+Schema classes with ``is_a`` chains are grafted onto the DAG exactly like the
+reference's ``_extend_ontology`` (/root/reference/biocypher/_ontology.py:
+649-705), and ``synonym_for`` renames ontology nodes to schema keys
+(/root/reference/biocypher/_ontology.py:733-751).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+
+import yaml
+
+from .mapping import SchemaMapping
+from .naming import to_list, to_lower_sentence_case
+
+
+class NullOntology:
+    """Headless ontology: every label is its own only ancestor."""
+
+    def __init__(self, mapping: Optional[SchemaMapping] = None):
+        self.mapping = mapping or SchemaMapping()
+
+    def has_node(self, label: str) -> bool:
+        return False
+
+    def get_ancestors(self, label: str) -> list[str]:
+        return [label]
+
+    def ancestor_map(self, labels: Iterable[str]) -> dict[str, list[str]]:
+        return {lab: [lab] for lab in labels}
+
+
+class Ontology:
+    """DAG of child -> parents edges with schema extension and synonyms."""
+
+    def __init__(
+        self,
+        mapping: Optional[SchemaMapping] = None,
+        parent_map: Optional[dict] = None,
+        hierarchy_file: Optional[str] = None,
+        root: Optional[str] = None,
+    ):
+        self.mapping = mapping or SchemaMapping()
+        self._parents: dict[str, list[str]] = {}
+        if hierarchy_file:
+            if hierarchy_file.endswith((".ttl", ".owl")):
+                self._load_turtle(hierarchy_file)
+            else:
+                with open(hierarchy_file) as fh:
+                    parent_map = {**(yaml.safe_load(fh) or {}), **(parent_map or {})}
+        for child, parents in (parent_map or {}).items():
+            self._add_edges(child, to_list(parents))
+        self._apply_synonyms()
+        self._extend_with_schema()
+        if root is not None:
+            self._restrict_to_root(root)
+
+    # -- construction ------------------------------------------------------
+
+    def _add_edges(self, child: str, parents: list[str]) -> None:
+        cur = self._parents.setdefault(child, [])
+        for p in parents:
+            if p is not None and p != child and p not in cur:
+                cur.append(p)
+            if p is not None:
+                self._parents.setdefault(p, [])
+
+    _TTL_LABEL = re.compile(r"^(\S+)\s+rdfs:label\s+\"([^\"]+)\"", re.M)
+    _TTL_SUBCLASS = re.compile(r"^(\S+)\s+rdfs:subClassOf\s+(\S+)", re.M)
+
+    def _load_turtle(self, path: str) -> None:
+        """Minimal Turtle reader: rdfs:label + rdfs:subClassOf lines only.
+
+        Node names become lower-sentence-case labels, mirroring the
+        reference's label normalization (_ontology.py:322-342). This is not
+        a general Turtle parser; it supports the line-oriented shape of the
+        bundled test ontologies.
+        """
+        with open(path) as fh:
+            text = fh.read()
+        labels = {iri: lbl for iri, lbl in self._TTL_LABEL.findall(text)}
+
+        def name(iri: str) -> str:
+            raw = labels.get(iri, iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1].rstrip(">"))
+            return to_lower_sentence_case(raw.replace("_", " "))
+
+        for child, parent in self._TTL_SUBCLASS.findall(text):
+            if parent.startswith("_:") or child.startswith("_:"):
+                continue
+            self._add_edges(name(child), [name(parent)])
+
+    def _apply_synonyms(self) -> None:
+        """Rename ontology nodes to schema keys declared via ``synonym_for``."""
+        renames = {}
+        for cls, conf in self.mapping.extended_schema.items():
+            syn = conf.get("synonym_for")
+            if syn and syn in self._parents:
+                renames[syn] = cls
+        if not renames:
+            return
+        new: dict[str, list[str]] = {}
+        for child, parents in self._parents.items():
+            new[renames.get(child, child)] = [renames.get(p, p) for p in parents]
+        self._parents = new
+
+    def _extend_with_schema(self) -> None:
+        """Append schema classes' ``is_a`` chains as DAG edges.
+
+        A chain ``[a, b, c]`` for class ``k`` adds ``k->a->b->c``; the chain
+        is expected to bottom out at an existing ontology node when a
+        hierarchy is loaded (reference errors there; we are permissive and
+        attach the chain regardless, which reduces to headless semantics).
+        """
+        for cls, conf in self.mapping.extended_schema.items():
+            chain = to_list(conf.get("is_a"))
+            if not chain:
+                if cls not in self._parents:
+                    self._parents.setdefault(cls, [])
+                continue
+            prev = cls
+            for parent in chain:
+                if parent not in to_list(self._parents.get(prev)):
+                    self._add_edges(prev, [parent])
+                prev = parent
+
+    def _restrict_to_root(self, root: str) -> None:
+        """Keep only nodes whose ancestor closure includes ``root``."""
+        keep = {n for n in self._parents if root in self.get_ancestors(n)}
+        self._parents = {n: [p for p in ps if p in keep] for n, ps in self._parents.items() if n in keep}
+
+    # -- queries -----------------------------------------------------------
+
+    def has_node(self, label: str) -> bool:
+        return label in self._parents
+
+    def get_ancestors(self, label: str) -> list[str]:
+        """DFS preorder from ``label`` following child->parent edges.
+
+        Specific -> generic order, self first; matches the reference's
+        ``nx.dfs_tree`` traversal (_ontology.py:753-765). Unknown labels
+        raise ``KeyError`` (callers fall back to ``[label]`` like the
+        reference catches NetworkXError).
+        """
+        if label not in self._parents:
+            raise KeyError(label)
+        out: list[str] = []
+        seen: set[str] = set()
+        stack = [label]
+        while stack:
+            node = stack.pop()
+            if node in seen:
+                continue
+            seen.add(node)
+            out.append(node)
+            # push parents in reverse so the first parent is visited first
+            stack.extend(reversed(self._parents.get(node, [])))
+        return out
+
+    def ancestor_map(self, labels: Iterable[str]) -> dict[str, list[str]]:
+        """Per-label ancestor lists (fallback ``[label]``), broadcast-ready."""
+        out = {}
+        for lab in labels:
+            try:
+                out[lab] = self.get_ancestors(lab)
+            except KeyError:
+                out[lab] = [lab]
+        return out
+
+    def nodes(self) -> list[str]:
+        return list(self._parents)
