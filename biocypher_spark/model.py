@@ -71,10 +71,48 @@ def encode_props(props: dict | None) -> dict[str, str]:
     return {k: json.dumps(v) for k, v in (props or {}).items()}
 
 
+_NODE_TUPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("input_label", T.StringType()),
+        T.StructField("_pk", T.ArrayType(T.StringType())),
+        T.StructField("_pv", T.ArrayType(T.StringType())),
+        T.StructField(SEQ, T.LongType()),
+    ]
+)
+
+_EDGE_TUPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("tgt", T.StringType()),
+        T.StructField("input_label", T.StringType()),
+        T.StructField("_pk", T.ArrayType(T.StringType())),
+        T.StructField("_pv", T.ArrayType(T.StringType())),
+        T.StructField(SEQ, T.LongType()),
+    ]
+)
+
+
+def _ordered_map_df(df: DataFrame) -> DataFrame:
+    """Build the props map from parallel key/value arrays.
+
+    Python dict -> Spark map conversion does not preserve insertion order;
+    ``map_from_arrays`` does, and property order matters for first-entity
+    type inference and rel-as-node id synthesis.
+    """
+    return df.withColumn("props", F.map_from_arrays("_pk", "_pv")).drop("_pk", "_pv")
+
+
 def nodes_from_tuples(spark: SparkSession, tuples: Iterable[tuple]) -> DataFrame:
     """(id, input_label, props) tuples -> staged node DataFrame."""
-    rows = [(str(t[0]), str(t[1]), encode_props(t[2] if len(t) > 2 else {}), i) for i, t in enumerate(tuples)]
-    return spark.createDataFrame(rows, NODE_INPUT_SCHEMA)
+    rows = []
+    for i, t in enumerate(tuples):
+        enc = encode_props(t[2] if len(t) > 2 else {})
+        rows.append((str(t[0]), str(t[1]), list(enc.keys()), list(enc.values()), i))
+    return _ordered_map_df(spark.createDataFrame(rows, _NODE_TUPLE_SCHEMA)).select(
+        "id", "input_label", "props", SEQ
+    )
 
 
 def edges_from_tuples(spark: SparkSession, tuples: Iterable[tuple]) -> DataFrame:
@@ -89,17 +127,21 @@ def edges_from_tuples(spark: SparkSession, tuples: Iterable[tuple]) -> DataFrame
             _id, src, tgt, lab, props = None, t[0], t[1], t[2], t[3]
         else:
             _id, src, tgt, lab, props = t
+        enc = encode_props(props)
         rows.append(
             (
                 str(_id) if _id is not None else None,
                 str(src),
                 str(tgt),
                 str(lab),
-                encode_props(props),
+                list(enc.keys()),
+                list(enc.values()),
                 i,
             )
         )
-    return spark.createDataFrame(rows, EDGE_INPUT_SCHEMA)
+    return _ordered_map_df(spark.createDataFrame(rows, _EDGE_TUPLE_SCHEMA)).select(
+        "id", "src", "tgt", "input_label", "props", SEQ
+    )
 
 
 # -- JSON scalar helpers (all JVM-side expressions) -------------------------

@@ -1,0 +1,201 @@
+"""Shared batch-writer machinery: typed CSV serialization + part files.
+
+Reference: the abstract ``_BatchWriter``
+(/root/reference/biocypher/output/write/_batch_writer.py). The reference
+streams entities through Python closures with per-label in-memory bins
+(:592-741, :872-1028); here serialization is a single Spark column
+expression per label (whole-stage codegen, no Python on the hot path) and
+part files come from one partitioned ``write.text`` job followed by a
+driver-side rename into the reference's ``{Label}-partNNN.csv`` layout
+(:1154-1204), continuing numbering across runs.
+
+Scale notes:
+  * one shuffle per write call (range partition by (label, seq)) regardless
+    of label count; ``maxRecordsPerFile`` enforces the reference's
+    ``batch_size`` file chunking without driver memory.
+  * all value formatting (quoting, bool lowering, array joins, newline
+    scrub) is built-ins only; Python appears solely in driver-side header
+    bookkeeping over the tiny label domain.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import SEQ, json_decode_str, json_pystr, scrub_newlines
+from ..naming import parse_label, sentence_to_pascal
+
+LONG_TYPES = {"int", "integer", "long"}
+DOUBLE_TYPES = {"float", "double", "dbl"}
+BOOL_TYPES = {"bool", "boolean"}
+LONG_ARRAY = {"int[]", "integer[]", "long[]"}
+DOUBLE_ARRAY = {"float[]", "double[]"}
+BOOL_ARRAY = {"bool[]", "boolean[]"}
+STR_ARRAY = {"str[]", "string[]"}
+
+
+def quote_expr(col: Column, quote: str) -> Column:
+    """Quote a string column; embedded quote chars are doubled.
+
+    (Reference: ``_Neo4jBatchWriter._quote_string``,
+    /root/reference/biocypher/output/write/graph/_neo4j.py:66-68.)
+    """
+    return F.concat(F.lit(quote), F.replace(col, F.lit(quote), F.lit(quote * 2)), F.lit(quote))
+
+
+def _python_bool_elems(arr: Column) -> Column:
+    """JSON 'true'/'false' array elements -> Python str(True)/str(False)."""
+    return F.transform(
+        arr,
+        lambda x: F.when(x == "true", F.lit("True")).when(x == "false", F.lit("False")).otherwise(x),
+    )
+
+
+def serialize_prop(raw: Column, declared: Optional[str], quote: str, adelim: str, scrub: bool) -> Column:
+    """One property value (JSON-encoded) -> its CSV field string.
+
+    Branch structure matches ``_write_single_node_list_to_file``
+    (/root/reference/biocypher/output/write/_batch_writer.py:799-827):
+    None -> empty field; declared bool -> lowercase; declared numerics
+    -> bare string; lists -> array-delimited + quoted; everything else ->
+    quoted string (with the reference's str() semantics for stray
+    non-strings). ``scrub`` applies the CR/LF -> space replacement the
+    reference performs at node construction (nodes only;
+    /root/reference/biocypher/_create.py:73-94).
+    """
+    is_null = raw.isNull() | (raw == "null")
+    decoded_arr = F.from_json(raw, "array<string>")
+
+    def maybe_scrub(c: Column) -> Column:
+        return scrub_newlines(c) if scrub else c
+
+    array_field = quote_expr(
+        F.concat_ws(adelim, _python_bool_elems(F.transform(decoded_arr, maybe_scrub))), quote
+    )
+    if declared in BOOL_TYPES:
+        value = F.lower(json_pystr(raw))
+    elif declared in LONG_TYPES or declared in DOUBLE_TYPES:
+        value = json_pystr(raw)
+    else:
+        string_field = quote_expr(maybe_scrub(json_pystr(raw)), quote)
+        value = F.when(raw.startswith("["), array_field).otherwise(string_field)
+        return F.when(is_null, F.lit("")).otherwise(value)
+    # declared scalar types can still receive list values -> array branch
+    value = F.when(raw.startswith("["), array_field).otherwise(value)
+    return F.when(is_null, F.lit("")).otherwise(value)
+
+
+def node_line_expr(prop_dict: dict, label_string: str, delim: str, adelim: str, quote: str) -> Column:
+    """Build the full CSV line for one node label:
+    ``id ; props... ; :LABEL-string``."""
+    pieces: list[Column] = [F.col("node_id")]
+    for key, declared in prop_dict.items():
+        raw = F.element_at(F.col("props"), key)
+        pieces.append(F.coalesce(serialize_prop(raw, declared, quote, adelim, scrub=True), F.lit("")))
+    pieces.append(F.lit(label_string))
+    return F.concat_ws(delim, *pieces)
+
+
+def edge_line_expr(
+    prop_dict: dict,
+    label_string: str,
+    delim: str,
+    adelim: str,
+    quote: str,
+    skip_id: bool,
+) -> Column:
+    """CSV line for one edge label:
+    ``:START_ID ; [id] ; props... ; :END_ID ; :TYPE``."""
+    pieces: list[Column] = [F.col("source_id")]
+    if not skip_id:
+        pieces.append(F.coalesce(F.col("relationship_id"), F.lit("")))
+    for key, declared in prop_dict.items():
+        raw = F.element_at(F.col("props"), key)
+        pieces.append(F.coalesce(serialize_prop(raw, declared, quote, adelim, scrub=False), F.lit("")))
+    pieces.append(F.col("target_id"))
+    pieces.append(F.lit(label_string))
+    return F.concat_ws(delim, *pieces)
+
+
+def infer_prop_types(props: dict[str, Optional[str]]) -> dict[str, str]:
+    """First-entity type inference, Python type names like the reference
+    (/root/reference/biocypher/output/write/_batch_writer.py:672-689)."""
+    out = {}
+    for k, raw in props.items():
+        if raw is None:
+            out[k] = None
+            continue
+        v = json.loads(raw)
+        if v is None:
+            out[k] = None
+        elif isinstance(v, bool):
+            out[k] = "bool"
+        elif isinstance(v, int):
+            out[k] = "int"
+        elif isinstance(v, float):
+            out[k] = "float"
+        elif isinstance(v, list):
+            elem = type(v[0]).__name__ if v else "str"
+            out[k] = f"{elem}[]"
+        else:
+            out[k] = "str"
+    return out
+
+
+def pascal_file_label(label: str) -> str:
+    return sentence_to_pascal(parse_label(label))
+
+
+def write_part_files(
+    lines_df: DataFrame,
+    outdir: str,
+    batch_size: int,
+) -> dict[str, list[str]]:
+    """Write line strings into ``{Label}-partNNN.csv`` files.
+
+    ``lines_df`` must have columns (``_plabel``, ``line``, SEQ). One Spark
+    job: range-partition + sort by (label, seq) so file order is the stable
+    arrival order, write text partitioned by label with ``batch_size`` rows
+    per file, then rename driver-side, continuing each label's existing
+    part numbering (reference ``_write_next_part``,
+    /root/reference/biocypher/output/write/_batch_writer.py:1154-1204).
+    """
+    tmp = os.path.join(outdir, "_tmp_parts")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # exact reference batching: per-label rank -> file index every
+    # batch_size rows; range partitioning keeps (label, file) groups whole
+    # and in global order so the driver-side rename preserves arrival order
+    w = Window.partitionBy("_plabel").orderBy(SEQ)
+    df = lines_df.withColumn("_file", F.floor((F.row_number().over(w) - 1) / F.lit(int(batch_size))))
+    (
+        df.repartitionByRange(F.col("_plabel"), F.col("_file"))
+        .sortWithinPartitions("_plabel", "_file", SEQ)
+        .select("line", "_plabel")
+        .write.option("maxRecordsPerFile", int(batch_size))
+        .partitionBy("_plabel")
+        .mode("overwrite")
+        .text(tmp)
+    )
+    written: dict[str, list[str]] = {}
+    for label_dir in sorted(glob.glob(os.path.join(tmp, "_plabel=*"))):
+        plabel = label_dir.rsplit("=", 1)[-1]
+        existing = glob.glob(os.path.join(outdir, f"{plabel}-part*.csv"))
+        next_part = (
+            max(int(f.rsplit("-part", 1)[-1].split(".")[0]) for f in existing) + 1 if existing else 0
+        )
+        for src in sorted(glob.glob(os.path.join(label_dir, "part-*"))):
+            if os.path.getsize(src) == 0:
+                continue
+            name = f"{plabel}-part{str(next_part).zfill(3)}.csv"
+            shutil.move(src, os.path.join(outdir, name))
+            written.setdefault(plabel, []).append(name)
+            next_part += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return written

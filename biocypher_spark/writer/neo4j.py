@@ -1,0 +1,483 @@
+"""Neo4j admin-import batch writer — the flagship sink (S3).
+
+Produces the exact reference layout: per-label ``{PascalLabel}-partNNN.csv``
+data files, ``{PascalLabel}-header.csv`` header files, and a
+``neo4j-admin-import-call.sh`` script (reference
+``_Neo4jBatchWriter``, /root/reference/biocypher/output/write/graph/_neo4j.py
+and ``_BatchWriter``, .../_batch_writer.py). Serialization rules
+(``;`` delimiter, ``|`` array delimiter, ``'`` quote with doubling escape,
+lowercase booleans, empty field for null) match the reference's golden tests
+(/root/reference/test/output/write/graph/test_neo4j.py:107,298,321,1006).
+
+Spark-first execution: dedup is a keyed shuffle (not driver sets), label
+ancestor strings are precomputed driver-side and inlined as literals, and
+every write call is one partitioned text job per entity kind. Cross-call
+dedup state is an accumulated, persisted id DataFrame, replacing the
+reference's unbounded in-memory sets (/root/reference/biocypher/
+_deduplicate.py:20-29) which cannot exist at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dedup import edge_dedup_key
+from ..model import SEQ
+from ..naming import sentence_to_pascal
+from ..translate import SparkTranslator, TranslatedEdges
+from .base import (
+    BOOL_ARRAY,
+    BOOL_TYPES,
+    DOUBLE_ARRAY,
+    DOUBLE_TYPES,
+    LONG_ARRAY,
+    LONG_TYPES,
+    STR_ARRAY,
+    edge_line_expr,
+    infer_prop_types,
+    node_line_expr,
+    pascal_file_label,
+    write_part_files,
+)
+
+_LABELS_ORDERS = ("Ascending", "Descending", "Alphabetical", "Leaves")
+_RAN_EDGE_LABELS = ("IS_SOURCE_OF", "IS_TARGET_OF", "IS_PART_OF")
+
+
+def _header_type_suffix(key: str, declared: Optional[str]) -> str:
+    """Property header column with Neo4j type suffix
+    (/root/reference/biocypher/output/write/graph/_neo4j.py:125-141)."""
+    if declared in LONG_TYPES:
+        return f"{key}:long"
+    if declared in LONG_ARRAY:
+        return f"{key}:long[]"
+    if declared in DOUBLE_TYPES:
+        return f"{key}:double"
+    if declared in DOUBLE_ARRAY:
+        return f"{key}:double[]"
+    if declared in BOOL_TYPES:
+        return f"{key}:boolean"
+    if declared in BOOL_ARRAY:
+        return f"{key}:boolean[]"
+    if declared in STR_ARRAY:
+        return f"{key}:string[]"
+    return key
+
+
+class Neo4jBatchWriter:
+    """Write node/edge DataFrames in Neo4j admin-import layout."""
+
+    def __init__(
+        self,
+        spark,
+        translator: SparkTranslator,
+        output_directory: str,
+        delimiter: str = ";",
+        array_delimiter: str = "|",
+        quote: str = "'",
+        db_name: str = "neo4j",
+        wipe: bool = True,
+        strict_mode: bool = False,
+        skip_bad_relationships: bool = False,
+        skip_duplicate_nodes: bool = False,
+        import_call_bin_prefix: Optional[str] = None,
+        import_call_file_prefix: Optional[str] = None,
+        labels_order: str = "Ascending",
+        node_labels_order: Optional[str] = None,
+        edge_labels_order: Optional[str] = None,
+        batch_size: int = int(1e6),
+        validate_props: bool = True,
+    ):
+        self.spark = spark
+        self.translator = translator
+        self.outdir = output_directory
+        os.makedirs(self.outdir, exist_ok=True)
+        self.delim = delimiter
+        self.adelim = array_delimiter
+        self.quote = quote
+        self.db_name = db_name
+        self.wipe = wipe
+        self.strict_mode = strict_mode
+        self.skip_bad_relationships = skip_bad_relationships
+        self.skip_duplicate_nodes = skip_duplicate_nodes
+        self.import_call_bin_prefix = import_call_bin_prefix or "bin/"
+        self.import_call_file_prefix = import_call_file_prefix or output_directory
+        self.node_labels_order = node_labels_order or labels_order
+        # Neo4j forces single-label edges (reference _neo4j.py:44-52)
+        self.edge_labels_order = "Leaves"
+        if (edge_labels_order or labels_order) != "Leaves":
+            pass  # warning-level downgrade in the reference; silently forced here
+        if self.node_labels_order not in _LABELS_ORDERS:
+            raise ValueError(f"Invalid labels_order: {self.node_labels_order}")
+        self.batch_size = int(batch_size)
+        self.validate_props = validate_props
+
+        self.node_property_dict: "OrderedDict[str, dict]" = OrderedDict()
+        self.edge_property_dict: "OrderedDict[str, dict]" = OrderedDict()
+        self.import_call_nodes: set = set()
+        self.import_call_edges: set = set()
+        self.parts: dict[str, list[str]] = {}
+        self._seen_nodes: Optional[DataFrame] = None  # accumulated node_id frame
+        self._seen_edges: Optional[DataFrame] = None  # accumulated (label, key) frame
+        self._seen_ran: Optional[DataFrame] = None  # accumulated (label, node_id) frame
+        self.duplicate_nodes: Optional[DataFrame] = None
+        self.duplicate_edges: Optional[DataFrame] = None
+
+    # -- label strings ------------------------------------------------------
+
+    def _escaped(self, s: str) -> str:
+        return s.replace("\\", "\\\\")
+
+    def _array_string(self, items: list[str]) -> str:
+        joined = self.adelim.join(str(x) for x in items)
+        return f"{self.quote}{joined.replace(self.quote, self.quote * 2)}{self.quote}"
+
+    def _all_labels(self, label: str, order: str, force: bool = False) -> str:
+        """Ancestor `:LABEL` string (O1/O2; reference ``_get_all_labels``,
+        /root/reference/biocypher/output/write/_batch_writer.py:512-555)."""
+        if force:
+            return sentence_to_pascal(label)
+        try:
+            ancestors = self.translator.ontology.get_ancestors(label)
+        except KeyError:
+            ancestors = [label]
+        labels = list(OrderedDict.fromkeys(sentence_to_pascal(a) for a in ancestors))
+        if order == "Alphabetical":
+            labels.sort()
+        elif order == "Descending":
+            labels.reverse()
+        elif order == "Leaves":
+            labels = labels[:1]
+        return self._array_string(labels)
+
+    # -- property dict resolution -------------------------------------------
+
+    def _schema_props(self, label: str) -> Optional[dict]:
+        schema = self.translator.ontology.mapping.extended_schema
+        if label in schema:
+            return schema[label].get("properties")
+        for conf in schema.values():
+            if isinstance(conf, dict) and conf.get("label_as_edge") == label:
+                return conf.get("properties")
+        return None
+
+    def _resolve_prop_dict(self, label: str, first_props: dict, kind: str) -> dict:
+        """Declared schema properties win; else first-entity inference
+        (/root/reference/biocypher/output/write/_batch_writer.py:645-689)."""
+        cprops = self._schema_props(label)
+        if cprops:
+            d = dict(cprops)
+            if kind == "node":
+                d["id"] = "str"
+                d["preferred_id"] = "str"
+            if self.strict_mode:
+                d["source"] = "str"
+                d["version"] = "str"
+                d["licence"] = "str"
+        else:
+            d = infer_prop_types(first_props)
+        return d
+
+    def _first_rows_per_label(self, df: DataFrame, label_col: str) -> dict[str, dict]:
+        w = Window.partitionBy(label_col).orderBy(SEQ)
+        rows = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            # collect keys/values as arrays: Python dict conversion of a
+            # collected map column does not preserve the JVM map order
+            .select(label_col, F.map_keys("props").alias("_k"), F.map_values("props").alias("_v"))
+            .collect()
+        )
+        return {r[label_col]: dict(zip(r["_k"] or [], r["_v"] or [])) for r in rows}
+
+    def _validate_consistent_props(self, df: DataFrame, label_col: str, prop_dicts: dict) -> None:
+        """Reference hard-errors when entities of one label diverge in
+        property-key sets (order-invariant;
+        /root/reference/biocypher/output/write/_batch_writer.py:785-797)."""
+        if not self.validate_props:
+            return
+        sets = (
+            df.select(label_col, F.sort_array(F.map_keys("props")).alias("_keys"))
+            .groupBy(label_col, "_keys")
+            .count()
+            .collect()
+        )
+        per_label: dict[str, set] = {}
+        for r in sets:
+            per_label.setdefault(r[label_col], set()).add(tuple(r["_keys"]))
+        for label, keysets in per_label.items():
+            ref = set(prop_dicts.get(label, {}).keys())
+            for ks in keysets:
+                if set(ks) != ref:
+                    raise ValueError(
+                        f"At least one entity of class {label} has more or fewer properties "
+                        f"than another. Reference properties: {sorted(ref)}, "
+                        f"found: {sorted(ks)}."
+                    )
+
+    # -- dedup bookkeeping ---------------------------------------------------
+
+    def _dedup_against_seen(self, df: DataFrame, key_cols: list, seen_attr: str, kind: str, label_col: str) -> DataFrame:
+        """First-wins within the batch + anti-join vs ids from earlier calls;
+        replaces the reference's cross-call in-memory seen-sets. Duplicate
+        occurrences are accumulated into metrics frames (D4)."""
+        w = Window.partitionBy(*key_cols).orderBy(SEQ)
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        dups = (
+            ranked.filter(F.col("_rn") > 1)
+            .select(F.lit(kind).alias("kind"), F.col(label_col).alias("label"), F.col(key_cols[-1]).alias("dup_id"))
+            .distinct()
+        )
+        attr = "duplicate_nodes" if kind == "node" else "duplicate_edges"
+        prev = getattr(self, attr)
+        setattr(self, attr, dups if prev is None else prev.unionByName(dups).distinct())
+        batch_first = ranked.filter(F.col("_rn") == 1).drop("_rn")
+        seen = getattr(self, seen_attr)
+        if seen is not None:
+            cross_dups = (
+                batch_first.join(seen, key_cols, "left_semi")
+                .select(F.lit(kind).alias("kind"), F.col(label_col).alias("label"), F.col(key_cols[-1]).alias("dup_id"))
+                .distinct()
+            )
+            setattr(self, attr, getattr(self, attr).unionByName(cross_dups).distinct())
+            batch_first = batch_first.join(seen, key_cols, "left_anti")
+        new_keys = batch_first.select(*key_cols).persist()
+        new_keys.count()
+        setattr(self, seen_attr, new_keys if seen is None else seen.unionByName(new_keys).distinct().persist())
+        return batch_first
+
+    # -- nodes ----------------------------------------------------------------
+
+    def write_nodes(self, nodes: DataFrame, force: bool = False) -> bool:
+        """NODE_SCHEMA DataFrame -> part files + headers. Returns True."""
+        nodes = nodes.filter(F.col("node_id").isNotNull())
+        nodes = self._dedup_against_seen(
+            nodes.withColumn("_key", F.col("node_id")), ["_key"], "_seen_nodes", "node", "node_label"
+        ).drop("_key")
+        nodes = nodes.persist()
+        firsts = self._first_rows_per_label(nodes, "node_label")
+        if not firsts:
+            nodes.unpersist()
+            return True
+
+        prop_dicts = {}
+        label_strings = {}
+        for label, first_props in firsts.items():
+            prop_dicts[label] = self.node_property_dict.get(label) or self._resolve_prop_dict(
+                label, first_props, "node"
+            )
+            self.node_property_dict[label] = prop_dicts[label]
+            label_strings[label] = self._all_labels(label, self.node_labels_order, force)
+        self._validate_consistent_props(nodes, "node_label", prop_dicts)
+
+        line, plabel = None, None
+        for label in firsts:
+            expr = node_line_expr(prop_dicts[label], label_strings[label], self.delim, self.adelim, self.quote)
+            e = F.lit(pascal_file_label(label))
+            if line is None:
+                line, plabel = expr, e
+            else:
+                line = F.when(F.col("node_label") == label, expr).otherwise(line)
+                plabel = F.when(F.col("node_label") == label, e).otherwise(plabel)
+
+        lines_df = nodes.select(plabel.alias("_plabel"), line.alias("line"), F.col(SEQ))
+        written = write_part_files(lines_df, self.outdir, self.batch_size)
+        for plab, names in written.items():
+            self.parts.setdefault(plab, []).extend(names)
+        nodes.unpersist()
+        self._write_node_headers()
+        return True
+
+    def _write_node_headers(self) -> None:
+        for label, props in self.node_property_dict.items():
+            plabel = pascal_file_label(label)
+            cols = [":ID"] + [_header_type_suffix(k, v) for k, v in props.items()] + [":LABEL"]
+            with open(os.path.join(self.outdir, f"{plabel}-header.csv"), "w", encoding="utf-8") as fh:
+                fh.write(self.delim.join(cols))
+            self.import_call_nodes.add(
+                (
+                    os.path.join(self.import_call_file_prefix, f"{plabel}-header.csv"),
+                    os.path.join(self.import_call_file_prefix, f"{plabel}-part.*"),
+                )
+            )
+
+    # -- edges ----------------------------------------------------------------
+
+    def _edge_schema_label(self, label: str) -> Optional[str]:
+        """Resolve an edge label back to its schema class (handles
+        label_as_edge); None for rel-as-node helper labels."""
+        if label in _RAN_EDGE_LABELS:
+            return None
+        schema = self.translator.ontology.mapping.extended_schema
+        if schema.get(label):
+            return label
+        for k, v in schema.items():
+            if isinstance(v, dict) and v.get("label_as_edge") == label:
+                return k
+        return None
+
+    def _edge_skip_id(self, label: str) -> bool:
+        if label in _RAN_EDGE_LABELS:
+            return True
+        schema_label = self._edge_schema_label(label)
+        if schema_label:
+            conf = self.translator.ontology.mapping.extended_schema.get(schema_label, {})
+            if conf.get("use_id") is False:
+                return True
+        return False
+
+    def write_edges(self, edges) -> bool:
+        """EDGE_SCHEMA DataFrame or TranslatedEdges -> part files + headers.
+
+        A TranslatedEdges carries the rel-as-node split: reified nodes are
+        deduped in the relationship namespace first (D3), then written
+        through the node path, and their helper edges written alongside
+        (reference ``write_edges``,
+        /root/reference/biocypher/output/write/_batch_writer.py:437-510).
+        """
+        if isinstance(edges, TranslatedEdges):
+            ran_nodes, ran_edges = edges.ran_nodes, edges.ran_edges
+            plain = edges.edges
+        else:
+            ran_nodes, ran_edges, plain = None, None, edges
+
+        all_edges = plain
+        if ran_nodes is not None:
+            ran_nodes = self._dedup_against_seen(
+                ran_nodes.withColumn("_key", F.col("node_id")).withColumn("_klabel", F.col("node_label")),
+                ["_klabel", "_key"],
+                "_seen_ran",
+                "edge",
+                "node_label",
+            ).drop("_key", "_klabel")
+            surviving = ran_nodes.select(F.col("node_id").alias("target_id"), SEQ)
+            ran_edges = ran_edges.join(surviving, ["target_id", SEQ], "left_semi")
+            if ran_nodes.limit(1).count() > 0:
+                self.write_nodes(ran_nodes)
+            all_edges = plain.unionByName(ran_edges) if plain is not None else ran_edges
+
+        all_edges = all_edges.filter(F.col("source_id").isNotNull() & F.col("target_id").isNotNull())
+        all_edges = self._dedup_against_seen(
+            all_edges.withColumn("_key", edge_dedup_key()).withColumn("_klabel", F.col("relationship_label")),
+            ["_klabel", "_key"],
+            "_seen_edges",
+            "edge",
+            "relationship_label",
+        ).drop("_key", "_klabel")
+        all_edges = all_edges.persist()
+
+        firsts = self._first_rows_per_label(all_edges, "relationship_label")
+        if not firsts:
+            all_edges.unpersist()
+            return True
+        prop_dicts = {}
+        for label, first_props in firsts.items():
+            prop_dicts[label] = self.edge_property_dict.get(label) or self._resolve_prop_dict(
+                label, first_props, "edge"
+            )
+            self.edge_property_dict[label] = prop_dicts[label]
+        self._validate_consistent_props(all_edges, "relationship_label", prop_dicts)
+
+        line = None
+        plabel = None
+        for label in firsts:
+            # Neo4j edges always use Leaves order -> single quoted label
+            label_string = self._array_string([sentence_to_pascal(label)])
+            expr = edge_line_expr(
+                prop_dicts[label],
+                label_string,
+                self.delim,
+                self.adelim,
+                self.quote,
+                skip_id=self._edge_skip_id(label),
+            )
+            e = F.lit(pascal_file_label(label))
+            if line is None:
+                line, plabel = expr, e
+            else:
+                line = F.when(F.col("relationship_label") == label, expr).otherwise(line)
+                plabel = F.when(F.col("relationship_label") == label, e).otherwise(plabel)
+
+        lines_df = all_edges.select(plabel.alias("_plabel"), line.alias("line"), F.col(SEQ))
+        written = write_part_files(lines_df, self.outdir, self.batch_size)
+        for plab, names in written.items():
+            self.parts.setdefault(plab, []).extend(names)
+        all_edges.unpersist()
+        self._write_edge_headers()
+        return True
+
+    def _write_edge_headers(self) -> None:
+        for label, props in self.edge_property_dict.items():
+            plabel = pascal_file_label(label)
+            cols = [":START_ID"]
+            if not self._edge_skip_id(label):
+                cols.append("id")
+            cols += [_header_type_suffix(k, v) for k, v in props.items()]
+            cols += [":END_ID", ":TYPE"]
+            with open(os.path.join(self.outdir, f"{plabel}-header.csv"), "w", encoding="utf-8") as fh:
+                fh.write(self.delim.join(cols))
+            self.import_call_edges.add(
+                (
+                    os.path.join(self.import_call_file_prefix, f"{plabel}-header.csv"),
+                    os.path.join(self.import_call_file_prefix, f"{plabel}-part.*"),
+                )
+            )
+
+    # -- import call -----------------------------------------------------------
+
+    def _import_call(self, import_cmd: str, database_cmd: str, wipe_cmd: str) -> str:
+        call = f"{self.import_call_bin_prefix}neo4j-admin {import_cmd} "
+        call += f"{database_cmd}{self.db_name} "
+        call += f'--delimiter="{self._escaped(self.delim)}" '
+        call += f'--array-delimiter="{self._escaped(self.adelim)}" '
+        if self.quote == "'":
+            call += f'--quote="{self.quote}" '
+        else:
+            call += f"--quote='{self.quote}' "
+        if self.wipe:
+            call += f"{wipe_cmd}true "
+        if self.skip_bad_relationships:
+            call += "--skip-bad-relationships=true "
+        if self.skip_duplicate_nodes:
+            call += "--skip-duplicate-nodes=true "
+        for header, parts in sorted(self.import_call_nodes):
+            call += f'--nodes="{header},{parts}" '
+        for header, parts in sorted(self.import_call_edges):
+            call += f'--relationships="{header},{parts}" '
+        return call
+
+    def get_import_call(self) -> str:
+        v4 = self._import_call("import", "--database=", "--force=")
+        v5 = self._import_call("database import full", "", "--overwrite-destination=")
+        shell = os.environ.get("SHELL", "/bin/bash")
+        check = f"version=$({self.import_call_bin_prefix}neo4j-admin --version | cut -d '.' -f 1)"
+        return (
+            f"#!{shell}\n"
+            f"{check}\n"
+            'echo "Neo4j detected version: $version" >&2\n'
+            "if [[ $version -lt 5 ]] ; then\n"
+            f"    {v4}\n"
+            "else\n"
+            f"    {v5}\n"
+            "fi\n"
+        )
+
+    def write_import_call(self) -> str:
+        path = os.path.join(self.outdir, "neo4j-admin-import-call.sh")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(self.get_import_call())
+        return path
+
+    # -- duplicate reporting ----------------------------------------------------
+
+    def get_duplicate_nodes(self):
+        return self.duplicate_nodes
+
+    def get_duplicate_edges(self):
+        return self.duplicate_edges

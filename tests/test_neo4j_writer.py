@@ -1,0 +1,203 @@
+"""Neo4j batch-writer golden tests (mirror of reference test_neo4j.py)."""
+
+import os
+
+import pytest
+
+from biocypher_spark.mapping import SchemaMapping
+from biocypher_spark.model import edges_from_tuples, nodes_from_tuples
+from biocypher_spark.ontology import NullOntology, Ontology
+from biocypher_spark.translate import SparkTranslator
+from biocypher_spark.writer.neo4j import Neo4jBatchWriter
+from fixtures.data_generator import (
+    mirna_nodes,
+    mutated_edges,
+    perturbed_edges,
+    protein_nodes,
+    rel_as_node_edges,
+)
+
+
+@pytest.fixture()
+def bw(spark, schema_path, tmp_path):
+    translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    return Neo4jBatchWriter(spark, translator, str(tmp_path))
+
+
+def read(path):
+    with open(path) as fh:
+        return fh.read()
+
+
+def _write_translated_nodes(spark, bw, tuples):
+    out = bw.translator.translate_nodes(nodes_from_tuples(spark, tuples))
+    assert bw.write_nodes(out.nodes)
+    return out
+
+
+def test_node_headers_and_data(spark, bw, tmp_path):
+    _write_translated_nodes(spark, bw, protein_nodes(4) + mirna_nodes(4))
+    bw.write_import_call()
+
+    header = read(tmp_path / "Protein-header.csv")
+    assert header == ":ID;name;score:double;taxon:long;genes:string[];id;preferred_id;:LABEL"
+    mirna_header = read(tmp_path / "MicroRNA-header.csv")
+    assert mirna_header == ":ID;name;taxon:long;id;preferred_id;:LABEL"
+
+    protein = read(tmp_path / "Protein-part000.csv")
+    # golden line (reference test_neo4j.py:321-324 with headless label)
+    assert "p1;'StringProperty1';4.0;9606;'gene1|gene2';'p1';'uniprot';'Protein'" in protein
+    assert len(protein.strip().split("\n")) == 4
+    mirna = read(tmp_path / "MicroRNA-part000.csv")
+    assert "m1;'StringProperty1';9606;'m1';'mirbase.mature';'MicroRNA'" in mirna
+
+    call = read(tmp_path / "neo4j-admin-import-call.sh")
+    assert "neo4j-admin" in call
+    assert '--delimiter=";"' in call
+    assert '--nodes="' in call
+    assert "Protein-header.csv" in call and 'Protein-part.*"' in call
+
+
+def test_property_quote_escaping(spark, bw, tmp_path):
+    _write_translated_nodes(
+        spark,
+        bw,
+        [("p1", "protein", {"name": "Pandora's box", "score": 4.0, "taxon": 9606, "genes": ["g1"]})],
+    )
+    data = read(tmp_path / "Protein-part000.csv")
+    assert "p1;'Pandora''s box'" in data
+
+
+def test_newline_scrubbing(spark, bw, tmp_path):
+    _write_translated_nodes(
+        spark,
+        bw,
+        [("p1", "protein", {"name": "line1\nline2\rx", "score": 1.0, "taxon": 1, "genes": ["a\nb"]})],
+    )
+    data = read(tmp_path / "Protein-part000.csv")
+    assert "'line1 line2 x'" in data
+    assert "'a b'" in data
+
+
+def test_boolean_and_inferred_props(spark, bw, tmp_path):
+    # post translational interaction has no declared properties -> inference
+    out = bw.translator.translate_edges(
+        edges_from_tuples(
+            spark,
+            [
+                ("i1", "a1", "a2", "post_translational", {"directed": True, "effect": -1}),
+                ("i2", "a2", "a3", "post_translational", {"directed": False, "effect": 1}),
+            ],
+        )
+    )
+    assert bw.write_edges(out)
+    data = read(tmp_path / "PostTranslationalInteraction-part000.csv")
+    assert "i1;true;-1;'i1';'id';'PostTranslationalInteraction'" in data
+    assert "i2;false;1;'i2';'id';'PostTranslationalInteraction'" in data
+    assert "True" not in data and "False" not in data
+
+
+def test_edge_headers_and_data(spark, bw, tmp_path):
+    out = bw.translator.translate_edges(
+        edges_from_tuples(spark, perturbed_edges(4)[1:] + mutated_edges(4)[1:])
+    )
+    assert bw.write_edges(out)
+    assert read(tmp_path / "PERTURBED_IN_DISEASE-header.csv") == ":START_ID;id;residue;level:long;:END_ID;:TYPE"
+    assert read(tmp_path / "Is_Mutated_In-header.csv") == ":START_ID;id;site;confidence:long;:END_ID;:TYPE"
+    pid = read(tmp_path / "PERTURBED_IN_DISEASE-part000.csv")
+    assert "prel1;p1;'T253';4;p2;'PERTURBED_IN_DISEASE'".replace("prel1;p1", "p1;prel1") in pid or (
+        "p1;prel1;'T253';4;p2;'PERTURBED_IN_DISEASE'" in pid
+    )
+    mut = read(tmp_path / "Is_Mutated_In-part000.csv")
+    assert "m1;mrel1;'3-UTR';1;p2;'Is_Mutated_In'" in mut
+
+
+def test_write_duplicate_edges(spark, bw, tmp_path):
+    edges = perturbed_edges(4)[1:] + mutated_edges(4)[1:]
+    edges.append(edges[0])
+    out = bw.translator.translate_edges(edges_from_tuples(spark, edges))
+    assert bw.write_edges(out)
+    pid = read(tmp_path / "PERTURBED_IN_DISEASE-part000.csv")
+    assert len(pid.strip().split("\n")) == 3
+    dups = bw.get_duplicate_edges().collect()
+    assert {(d["label"], d["dup_id"]) for d in dups} == {("PERTURBED_IN_DISEASE", "prel1")}
+
+
+def test_rel_as_node(spark, bw, tmp_path):
+    out = bw.translator.translate_edges(edges_from_tuples(spark, rel_as_node_edges(4)))
+    assert bw.write_edges(out)
+    iso = read(tmp_path / "IS_SOURCE_OF-part000.csv")
+    ito = read(tmp_path / "IS_TARGET_OF-part000.csv")
+    pti = read(tmp_path / "PostTranslationalInteraction-part000.csv")
+    assert "i1;" in iso and "p1;" in iso and "IS_SOURCE_OF" in iso
+    assert "i1;" in ito and "p2;" in ito and "IS_TARGET_OF" in ito
+    assert "i1;true;-1;'i1';'id'" in pti
+    # IS_SOURCE_OF header has no id column
+    assert read(tmp_path / "IS_SOURCE_OF-header.csv") == ":START_ID;:END_ID;:TYPE"
+
+
+def test_part_numbering_across_calls(spark, bw, tmp_path):
+    _write_translated_nodes(spark, bw, protein_nodes(2))
+    _write_translated_nodes(spark, bw, protein_nodes(4)[2:])
+    assert os.path.isfile(tmp_path / "Protein-part000.csv")
+    assert os.path.isfile(tmp_path / "Protein-part001.csv")
+    p0 = read(tmp_path / "Protein-part000.csv")
+    p1 = read(tmp_path / "Protein-part001.csv")
+    assert "p1;" in p0 and "p3;" in p1
+
+
+def test_batch_size_splits_parts(spark, bw, tmp_path):
+    bw.batch_size = 3
+    _write_translated_nodes(spark, bw, protein_nodes(7))
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith("Protein-part"))
+    assert files == ["Protein-part000.csv", "Protein-part001.csv", "Protein-part002.csv"]
+    # ordering: first file holds p1..p3 in arrival order
+    assert read(tmp_path / "Protein-part000.csv").startswith("p1;")
+    lines = read(tmp_path / "Protein-part000.csv").strip().split("\n")
+    assert [ln.split(";")[0] for ln in lines] == ["p1", "p2", "p3"]
+    assert read(tmp_path / "Protein-part002.csv").startswith("p7;")
+
+
+def test_duplicate_nodes_skipped_across_calls(spark, bw, tmp_path):
+    _write_translated_nodes(spark, bw, protein_nodes(2))
+    _write_translated_nodes(spark, bw, protein_nodes(3))  # p1,p2 dups
+    p1 = read(tmp_path / "Protein-part001.csv")
+    assert [ln.split(";")[0] for ln in p1.strip().split("\n")] == ["p3"]
+    dups = {(d["kind"], d["dup_id"]) for d in bw.get_duplicate_nodes().collect()}
+    assert dups == {("node", "p1"), ("node", "p2")}
+
+
+def test_inconsistent_props_raise(spark, bw):
+    # microRNA has no declared properties -> first-entity inference; a second
+    # entity with a different key set must fail (reference
+    # test_neo4j.py:523-573 semantics)
+    out = bw.translator.translate_nodes(
+        nodes_from_tuples(
+            spark,
+            [("m1", "mirna", {"name": "x", "taxon": 9606}), ("m2", "mirna", {"name": "y"})],
+        )
+    )
+    with pytest.raises(ValueError, match="more or fewer properties"):
+        bw.write_nodes(out.nodes)
+
+
+def test_labels_order_with_ontology(spark, schema_path, tmp_path):
+    # small hierarchy: protein -> polypeptide -> biological entity
+    onto = Ontology(
+        SchemaMapping(schema_path),
+        parent_map={"protein": "polypeptide", "polypeptide": "biological entity"},
+    )
+    translator = SparkTranslator(spark, onto)
+
+    for order, expected in [
+        ("Ascending", "'Protein|Polypeptide|BiologicalEntity'"),
+        ("Descending", "'BiologicalEntity|Polypeptide|Protein'"),
+        ("Alphabetical", "'BiologicalEntity|Polypeptide|Protein'"),
+        ("Leaves", "'Protein'"),
+    ]:
+        outdir = tmp_path / order
+        bw = Neo4jBatchWriter(spark, translator, str(outdir), labels_order=order)
+        out = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(1)))
+        bw.write_nodes(out.nodes)
+        data = read(outdir / "Protein-part000.csv")
+        assert data.strip().split(";")[-1] == expected, order
