@@ -1,0 +1,125 @@
+"""Mention detection over transcript text (NEW stage; north_rule).
+
+Two implementations with identical output contracts:
+
+  * ``extract_mentions`` — Arrow-vectorized ``mapInPandas``: pandas
+    ``str.extractall`` with one compiled alternation regex over salted,
+    size-balanced partitions. This is the flagship path required by the
+    north rule ("batched mention detection ... inside vectorized
+    pandas/Arrow UDFs, no per-row Python").
+  * ``extract_mentions_expr`` — pure built-in ``regexp_extract_all`` +
+    ``explode``; stays in whole-stage codegen and is trivially expressible
+    as the DuckDB oracle SQL, so it anchors the correctness harness.
+
+Output: one row per mention with lineage back to (conv_id, turn_idx); the
+raw ``text`` column is never mutated (per-turn text-equality invariant).
+
+The reference has no extraction stage — it delegates to user "adapters"
+that yield tuples (/root/reference/biocypher/_core.py:455-478); this module
+is the Spark-native adapter for transcript corpora.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# default gazetteer patterns for the synthetic corpus; callers pass their own
+DEFAULT_PATTERNS: dict[str, str] = {
+    "protein": r"(?:PROT|prot-|Protein )\d+",
+    "disease": r"DIS\d+",
+}
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("input_label", T.StringType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("m_pos", T.IntegerType()),
+    ]
+)
+
+
+def salt_partitions(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """Size-balance by (conv_id, salted turn block): hot conversations are
+    split across partitions instead of hammering one executor."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n))
+    return df.repartition(n, salt)
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    patterns: Optional[dict[str, str]] = None,
+    balance: bool = True,
+) -> DataFrame:
+    """mapInPandas extraction: one Arrow batch in, mention rows out."""
+    patterns = patterns or DEFAULT_PATTERNS
+    labels = list(patterns)
+    combined = re.compile("|".join(f"(?P<g{j}>{p})" for j, p in enumerate(patterns.values())))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits = pdf["text"].str.extractall(combined)
+            if hits.empty:
+                continue
+            hits = hits.reset_index()  # columns: level_0 (row), match, g0..gN
+            melted = hits.melt(
+                id_vars=["level_0", "match"], var_name="_g", value_name="surface"
+            ).dropna(subset=["surface"])
+            melted["input_label"] = melted["_g"].str.removeprefix("g").astype(int).map(dict(enumerate(labels)))
+            out = melted.merge(
+                pdf[["conv_id", "turn_idx"]].reset_index(drop=True).reset_index(names="level_0"),
+                on="level_0",
+            )
+            # m_pos = occurrence index per (turn, label), matching the
+            # posexplode semantics of the expression variant
+            out = out.sort_values("match", kind="stable")
+            out["m_pos"] = out.groupby(["level_0", "_g"]).cumcount().astype("int32")
+            yield out[["conv_id", "turn_idx", "input_label", "surface", "m_pos"]].astype(
+                {"turn_idx": "int32"}
+            )
+
+    src = salt_partitions(transcripts, None) if balance else transcripts
+    return src.mapInPandas(run, MENTION_SCHEMA)
+
+
+def extract_mentions_expr(
+    transcripts: DataFrame,
+    patterns: Optional[dict[str, str]] = None,
+) -> DataFrame:
+    """Built-in extraction: regexp_extract_all per label + posexplode."""
+    patterns = patterns or DEFAULT_PATTERNS
+    per_label = []
+    for label, pat in patterns.items():
+        hits = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        per_label.append(
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.lit(label).alias("input_label"),
+                F.posexplode(hits).alias("m_pos", "surface"),
+            ).select("conv_id", "turn_idx", "input_label", "surface", "m_pos")
+        )
+    out = per_label[0]
+    for other in per_label[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def normalize_surface(col) -> F.Column:
+    """Blocking key: lowercase, strip non-alphanumerics.
+
+    ``PROT7`` / ``prot-7`` / ``Protein 7`` -> ``prot7`` / ``prot7`` /
+    ``protein7`` — variants collapse either directly or via the similarity
+    join in linking.py.
+    """
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")

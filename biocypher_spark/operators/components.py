@@ -1,0 +1,71 @@
+"""Connected components via iterative DataFrame joins (G4 / canonicalization).
+
+Large-star/small-star-style alternation collapsed into min-label
+propagation: each iteration joins the current labels across edges and takes
+the component-min per node; ``localCheckpoint`` every iteration truncates
+lineage so plans stay bounded (the classic iterative-join pitfall). Entity
+name-variant clusters have tiny diameters, so convergence is fast; the
+iteration cap guards skewed pathological graphs.
+
+Reference analogue: ``Workflow.find_connected_components`` frontier
+expansion (/root/reference/biocypher/_workflow.py:446-482) — single-process,
+depth-limited; this version is the distributed, exact equivalent needed for
+canonicalization at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component) with component = min node id in the cluster.
+
+    ``edges`` may be directed; treated as undirected. Isolated nodes should
+    be unioned in by the caller as self-loops if they must appear.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("node"), F.col("b"))
+        .groupBy("node")
+        .agg(F.least(F.min("b"), F.first("node")).alias("comp"))
+        .select("node", F.least("comp", "node").alias("comp"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # propagate: candidate comp for each node = min over neighbours' comps
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

@@ -1,0 +1,228 @@
+"""End-to-end KG-construction pipeline: the north-rule DAG.
+
+read transcripts -> mention detection (mapInPandas) -> entity linking +
+canonicalization (blocked similarity join + connected components) ->
+triple construction -> schema translate (broadcast join) -> dedup (shuffle)
+-> Neo4j-admin-import batch layout, with per-partition lineage and metrics
+tables and checkpoint-resume per stage.
+
+Checkpoint model: each stage materializes to ``{run_dir}/{stage}`` parquet;
+on resume, stages whose output has a ``_SUCCESS`` marker are *read back*
+instead of recomputed. Lineage rows are keyed by conv_id hash-bucket ranges
+so a re-run can both verify coverage and re-process only missing buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_mentions, extract_mentions_expr
+from .linking import link_mentions
+from .mapping import SchemaMapping
+from .model import SEQ
+from .ontology import NullOntology
+from .translate import SparkTranslator, _json_str
+from .writer.neo4j import Neo4jBatchWriter
+
+DEFAULT_SCHEMA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "config", "transcripts_schema.yaml")
+
+_LINEAGE_BUCKETS = 16
+
+
+@dataclass
+class PipelineResult:
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+    missing_types: DataFrame
+    duplicate_nodes: Optional[DataFrame]
+    duplicate_edges: Optional[DataFrame]
+    lineage_path: str
+    counts: dict = field(default_factory=dict)
+
+    def triples(self) -> DataFrame:
+        """(subj, pred, obj) view of the constructed graph."""
+        return self.edges.select(
+            F.col("source_id").alias("subj"),
+            F.col("relationship_label").alias("pred"),
+            F.col("target_id").alias("obj"),
+        )
+
+
+class KGPipeline:
+    """Checkpoint-resumable transcripts -> knowledge-graph pipeline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_directory: str,
+        schema_config_path: str = DEFAULT_SCHEMA,
+        run_dir: Optional[str] = None,
+        strict_mode: bool = False,
+        link_threshold: float = 0.35,
+        use_pandas_extraction: bool = True,
+    ):
+        self.spark = spark
+        self.outdir = output_directory
+        self.run_dir = run_dir or os.path.join(output_directory, "_run")
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.mapping = SchemaMapping(schema_config_path)
+        self.translator = SparkTranslator(spark, NullOntology(self.mapping), strict_mode=strict_mode)
+        self.link_threshold = link_threshold
+        self.use_pandas_extraction = use_pandas_extraction
+        self._lineage_rows: list[tuple] = []
+
+    # -- checkpoint helpers -------------------------------------------------
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def _is_done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_path(stage), "_SUCCESS"))
+
+    def _checkpoint(self, stage: str, df: DataFrame, resume: bool) -> DataFrame:
+        """Materialize a stage (or read it back when resuming)."""
+        path = self._stage_path(stage)
+        if resume and self._is_done(stage):
+            return self.spark.read.parquet(path)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _record_lineage(self, stage: str, df: DataFrame, key_col: str = "conv_id") -> None:
+        """Per-partition lineage: rows per conv_id hash bucket."""
+        if key_col not in df.columns:
+            self._lineage_rows.append((stage, "all", "done", df.count(), int(time.time())))
+            return
+        rows = (
+            df.groupBy(F.pmod(F.xxhash64(key_col), F.lit(_LINEAGE_BUCKETS)).alias("bucket"))
+            .count()
+            .collect()
+        )
+        for r in rows:
+            self._lineage_rows.append((stage, f"bucket={r['bucket']}", "done", r["count"], int(time.time())))
+
+    def _flush_lineage(self) -> str:
+        path = os.path.join(self.run_dir, "lineage")
+        df = self.spark.createDataFrame(
+            self._lineage_rows, "stage string, partition_key string, status string, rows long, ts long"
+        )
+        df.withColumn("ts", F.timestamp_seconds("ts")).write.mode("overwrite").parquet(path)
+        return path
+
+    # -- triple construction --------------------------------------------------
+
+    def _build_tuples(self, linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Linked mentions -> staged node/edge tuple frames.
+
+        Node id = canonical id; name = lexicographically-first surface form
+        of the cluster. Edges = within-turn co-occurrence, aggregated with
+        an evidence count (`turns`), ids synthesized as src->tgt so edge
+        dedup (D2) is a no-op by construction.
+        """
+        nodes = (
+            linked.groupBy("canonical_id", "input_label")
+            .agg(F.min("surface").alias("name"))
+            .select(
+                F.col("canonical_id").alias("id"),
+                "input_label",
+                F.map_from_arrays(F.array(F.lit("name")), F.array(_json_str(F.col("name")))).alias("props"),
+                F.xxhash64("canonical_id").alias(SEQ),
+            )
+        )
+
+        proteins = linked.filter(F.col("input_label") == "protein").select(
+            "conv_id", "turn_idx", F.col("canonical_id").alias("pid")
+        )
+        diseases = linked.filter(F.col("input_label") == "disease").select(
+            "conv_id", "turn_idx", F.col("canonical_id").alias("did")
+        )
+        pp = (
+            proteins.alias("a")
+            .join(proteins.alias("b"), ["conv_id", "turn_idx"])
+            .filter(F.col("a.pid") < F.col("b.pid"))
+            .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("tgt"))
+            .agg(F.count(F.lit(1)).alias("turns"))
+            .withColumn("input_label", F.lit("protein_protein"))
+        )
+        pd_ = (
+            proteins.join(diseases, ["conv_id", "turn_idx"])
+            .groupBy(F.col("pid").alias("src"), F.col("did").alias("tgt"))
+            .agg(F.count(F.lit(1)).alias("turns"))
+            .withColumn("input_label", F.lit("protein_disease"))
+        )
+        edges = pp.unionByName(pd_).select(
+            F.concat("src", F.lit("_"), "tgt").alias("id"),
+            "src",
+            "tgt",
+            "input_label",
+            F.map_from_arrays(F.array(F.lit("turns")), F.array(F.col("turns").cast("string"))).alias("props"),
+            F.xxhash64("src", "tgt", "input_label").alias(SEQ),
+        )
+        return nodes, edges
+
+    # -- run --------------------------------------------------------------------
+
+    def run(self, transcripts: DataFrame, resume: bool = False, patterns: Optional[dict] = None) -> PipelineResult:
+        if resume and self._is_done("mentions"):
+            mentions = self.spark.read.parquet(self._stage_path("mentions"))
+        else:
+            fn = extract_mentions if self.use_pandas_extraction else extract_mentions_expr
+            mentions = fn(transcripts, patterns)
+            mentions = self._checkpoint("mentions", mentions, resume)
+        self._record_lineage("mentions", mentions)
+
+        if resume and self._is_done("linked"):
+            linked = self.spark.read.parquet(self._stage_path("linked"))
+        else:
+            linked = link_mentions(mentions, self.link_threshold)
+            linked = self._checkpoint("linked", linked, resume)
+        self._record_lineage("linked", linked)
+
+        node_tuples, edge_tuples = self._build_tuples(linked)
+
+        tn = self.translator.translate_nodes(node_tuples)
+        te = self.translator.translate_edges(edge_tuples)
+        missing = tn.missing.unionByName(te.missing)
+
+        writer = Neo4jBatchWriter(
+            self.spark,
+            self.translator,
+            self.outdir,
+            strict_mode=False,
+            validate_props=False,
+        )
+        writer.write_nodes(tn.nodes)
+        writer.write_edges(te)
+        writer.write_import_call()
+
+        nodes = self._checkpoint("nodes", tn.nodes, resume)
+        edges = self._checkpoint(
+            "edges",
+            te.edges.unionByName(te.ran_edges) if te.ran_edges is not None else te.edges,
+            resume,
+        )
+        self._record_lineage("nodes", nodes, key_col="node_id")
+        self._record_lineage("edges", edges, key_col="source_id")
+        lineage_path = self._flush_lineage()
+
+        counts = {
+            "mentions": mentions.count(),
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+        }
+        return PipelineResult(
+            nodes=nodes,
+            edges=edges,
+            mentions=mentions,
+            missing_types=missing,
+            duplicate_nodes=writer.get_duplicate_nodes(),
+            duplicate_edges=writer.get_duplicate_edges(),
+            lineage_path=lineage_path,
+            counts=counts,
+        )

@@ -1,0 +1,92 @@
+"""Extraction + linking + connected-components tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_spark.extract import extract_mentions, extract_mentions_expr, normalize_surface
+from biocypher_spark.linking import canonicalize, link_mentions
+from biocypher_spark.operators.components import connected_components
+from biocypher_spark.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return generate_transcripts(spark, 2000).cache()
+
+
+def test_transcripts_shape(transcripts):
+    assert transcripts.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert transcripts.count() == 2000
+    # (conv_id, turn_idx) unique + stable
+    assert transcripts.select("conv_id", "turn_idx").distinct().count() == 2000
+    # hot-key skew present
+    hot = transcripts.filter(F.col("conv_id").startswith("hot")).count()
+    assert hot == 2000 * 4 // 20
+    # ts monotone within conversation
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bad = (
+        transcripts.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("ts") <= F.col("_prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_transcripts_deterministic_across_parallelism(spark):
+    a = generate_transcripts(spark, 500, partitions=2).orderBy("conv_id", "turn_idx").collect()
+    b = generate_transcripts(spark, 500, partitions=7).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+
+
+def test_extract_mentions_pandas_vs_expr(transcripts):
+    got = extract_mentions(transcripts).select("conv_id", "turn_idx", "input_label", "surface", "m_pos")
+    want = extract_mentions_expr(transcripts)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    labels = {r["input_label"] for r in got.select("input_label").distinct().collect()}
+    assert labels == {"protein", "disease"}
+
+
+def test_text_never_mutated(transcripts):
+    # per-turn text equality invariant: extraction does not alter source rows
+    before = transcripts.orderBy("conv_id", "turn_idx").select("text").collect()
+    extract_mentions(transcripts).count()
+    after = transcripts.orderBy("conv_id", "turn_idx").select("text").collect()
+    assert before == after
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], ["src", "dst"]
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f"
+
+
+def test_canonicalize_variants(spark, transcripts):
+    mentions = extract_mentions_expr(transcripts)
+    linked = link_mentions(mentions)
+    # all three surface variants of protein 7 share one canonical id
+    ids = (
+        linked.filter(F.col("surface").isin("PROT7", "prot-7", "Protein 7"))
+        .select("canonical_id")
+        .distinct()
+        .collect()
+    )
+    assert len(ids) == 1
+    # distinct canonical protein ids == distinct protein entities mentioned
+    n_canon = (
+        linked.filter(F.col("input_label") == "protein").select("canonical_id").distinct().count()
+    )
+    truth = (
+        mentions.filter(F.col("input_label") == "protein")
+        .select(F.regexp_extract("surface", r"(\d+)$", 1).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert n_canon == truth

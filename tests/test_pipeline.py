@@ -1,0 +1,70 @@
+"""End-to-end pipeline tests: extract -> link -> translate -> dedup -> write."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_spark.pipeline import KGPipeline
+from biocypher_spark.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("kg"))
+    transcripts = generate_transcripts(spark, 3000)
+    pipe = KGPipeline(spark, outdir)
+    res = pipe.run(transcripts)
+    return res, outdir
+
+
+def test_counts_and_layout(result):
+    res, outdir = result
+    assert res.counts["mentions"] > 0
+    assert res.counts["nodes"] > 0
+    assert res.counts["edges"] > 0
+    files = os.listdir(outdir)
+    assert "Protein-header.csv" in files
+    assert "Protein-part000.csv" in files
+    assert "Disease-header.csv" in files
+    assert "INTERACTS_WITH-header.csv" in files
+    assert "LINKED_TO-header.csv" in files
+    assert "neo4j-admin-import-call.sh" in files
+    with open(os.path.join(outdir, "Protein-header.csv")) as fh:
+        assert fh.read() == ":ID;name;id;preferred_id;:LABEL"
+    with open(os.path.join(outdir, "INTERACTS_WITH-header.csv")) as fh:
+        assert fh.read() == ":START_ID;id;turns:long;:END_ID;:TYPE"
+
+
+def test_triples_view(result):
+    res, _ = result
+    triples = res.triples()
+    assert triples.columns == ["subj", "pred", "obj"]
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert preds == {"INTERACTS_WITH", "LINKED_TO"}
+    # canonical node ids: all edge endpoints exist in nodes
+    node_ids = res.nodes.select(F.col("node_id").alias("subj"))
+    dangling = triples.join(node_ids, "subj", "left_anti").count()
+    assert dangling == 0
+
+
+def test_lineage_written(result, spark):
+    res, _ = result
+    lineage = spark.read.parquet(res.lineage_path)
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert {"mentions", "linked", "nodes", "edges"} <= stages
+    assert lineage.filter(F.col("rows") > 0).count() > 0
+
+
+def test_resume_skips_stages(spark, tmp_path):
+    outdir = str(tmp_path / "kg2")
+    transcripts = generate_transcripts(spark, 500)
+    pipe = KGPipeline(spark, outdir)
+    r1 = pipe.run(transcripts)
+    # resume with an EMPTY transcripts frame: checkpointed stages are read
+    # back, so outputs match the first run
+    pipe2 = KGPipeline(spark, outdir)
+    empty = transcripts.limit(0)
+    r2 = pipe2.run(empty, resume=True)
+    assert r2.counts["mentions"] == r1.counts["mentions"]
+    assert r2.counts["nodes"] == r1.counts["nodes"]
