@@ -1,0 +1,98 @@
+"""Local mimic of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare row
+count, column names, and order-insensitive values. Usage:
+    python tools/check_oracles.py [sf_dir] [name ...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if v is None:
+        return ""
+    return str(v)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows={len(srows)} (no oracle, rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error {str(exc).splitlines()[0]}")
+            failures += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+            failures += 1
+            continue
+        sset = sorted(tuple(norm(r[c]) for c in sorted(scols)) for r in srows)
+        dmap = {c: i for i, c in enumerate(dcols)}
+        dset = sorted(tuple(norm(r[dmap[c]]) for c in sorted(dcols)) for r in drows)
+        if len(sset) != len(dset):
+            print(f"FAIL  {name}: rowcount spark={len(sset)} duck={len(dset)}")
+            failures += 1
+        elif sset != dset:
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            print(f"FAIL  {name}: values differ, first diffs={diff}")
+            failures += 1
+        else:
+            print(f"OK    {name}: rows={len(sset)}")
+    print(f"\n{failures} failures / {len(queries) if not only else len(only)} checked")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
