@@ -39,6 +39,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch(c: F.Column) -> F.Column:
+    """Truncated epoch seconds of a naive (NTZ) timestamp, computed from
+    date/time parts so it is session-timezone independent and matches
+    DuckDB ``floor(epoch(ts))`` on the identical naive value."""
+    days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("long")
+    return days * 86400 + F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60 + F.second(c).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # KG-construction operators over relational testdata
 # ---------------------------------------------------------------------------
@@ -394,4 +402,305 @@ def kg_cooccurrence_triples(spark, sf_dir):
         .filter(F.col("a.w") < F.col("b.w"))
         .select(F.col("a.w").alias("subj"), F.lit("CO_OCCURS_WITH").alias("pred"), F.col("b.w").alias("obj"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup family, text analysis (textops.py)
+# ---------------------------------------------------------------------------
+
+from .textops import (  # noqa: E402
+    MINHASH_SEEDS,
+    SIMHASH_BITS,
+    exact_dedup,
+    fingerprint,
+    language_id,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+
+@register(
+    "doc_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+           length(text) AS n_chars_check
+    FROM documents
+    """,
+)
+def doc_token_count(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_exact_dedup",
+    "SELECT min(doc_id) AS rep_id, count(*) AS n FROM documents GROUP BY text",
+)
+def doc_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"list_aggregate(list_transform(string_split(text, ' '), x -> md5('{b}' || x)), 'min') AS sig{b}"
+        for b in range(MINHASH_SEEDS)
+    )
+    parts = ", ".join(f"sig{b}" for b in range(MINHASH_SEEDS))
+    return f"""
+    WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents)
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY {parts}) AS rep_id FROM sigs
+    """
+
+
+@register("doc_minhash_dedup", _minhash_oracle())
+def doc_minhash_dedup(spark, sf_dir):
+    return minhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    terms = []
+    for i in range(SIMHASH_BITS):
+        pos = i // 4 + 1
+        shift = 3 - i % 4
+        vote = (
+            f"(((strpos('0123456789abcdef', substr(md5(x), {pos}, 1)) - 1) >> {shift}) & 1) * 2 - 1"
+        )
+        s = f"list_aggregate(list_transform(string_split(text, ' '), x -> {vote}), 'sum')"
+        terms.append(f"CASE WHEN {s} >= 0 THEN {1 << i} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"SELECT doc_id, {total} AS simhash FROM documents"
+
+
+@register("doc_simhash", _simhash_oracle())
+def doc_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_ngram_jaccard",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(list_sort(string_split(text, ' '))) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, c.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, c.toks))), 6) AS jac
+    FROM b a JOIN b c ON a.lang = c.lang AND a.n_chars = c.n_chars AND a.doc_id < c.doc_id
+    WHERE round(len(list_intersect(a.toks, c.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, c.toks))), 6) >= 0.5
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _lang_oracle() -> str:
+    from .textops import _LANG_MARKERS
+
+    cnt = {
+        lang: "len(list_filter(string_split(text, ' '), x -> x in ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + ")))"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(cnt.values()) + ")"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND {cnt[lang]} = {best} THEN '{lang}'" for lang in sorted(cnt)
+    )
+    return f"SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM documents"
+
+
+@register("doc_lang_id", _lang_oracle())
+def doc_lang_id(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n,
+             len(list_filter(string_split(text, ' '),
+                 x -> x in ('the','and','of','a','in','to','is'))) AS stops,
+             len(regexp_extract_all(text, '[.,;:!?'']')) AS punct
+      FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           round(stops / n, 6) AS stop_ratio,
+           round(least(1.0, n / 100.0) * (1 - punct / length(text)) * (1 - (stops / n) / 2), 6) AS score
+    FROM t
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents")
+def doc_fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (similarity.py)
+# ---------------------------------------------------------------------------
+
+from .similarity import cosine_topk, embedding_near_dup, hyperplane_signs, lsh_buckets  # noqa: E402
+
+_DIMS = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, _DIMS + 1))
+
+
+def _cosine_topk_oracle() -> str:
+    dot = _dot_sql("e.embedding", "q.qe")
+    na = _dot_sql("e.embedding", "e.embedding")
+    nq = _dot_sql("q.qe", "q.qe")
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(({dot}) / (sqrt({na}) * sqrt({nq})), 6) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY ({dot}) / (sqrt({na}) * sqrt({nq})) DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("emb_cosine_topk", _cosine_topk_oracle())
+def emb_cosine_topk(spark, sf_dir):
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def _lsh_oracle() -> str:
+    planes = hyperplane_signs(2, _DIMS)
+    parts = []
+    for p, signs in enumerate(planes):
+        proj = " + ".join(
+            f"{'' if s > 0 else '-'}embedding[{i + 1}]::DOUBLE" for i, s in enumerate(signs)
+        ).replace("+ -", "- ")
+        parts.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")
+    total = " + ".join(parts)
+    return f"SELECT vec_id, {total} AS bucket FROM embeddings"
+
+
+@register("emb_lsh_buckets", _lsh_oracle())
+def emb_lsh_buckets(spark, sf_dir):
+    return lsh_buckets(_t(spark, sf_dir, "embeddings"), num_planes=2, dims=_DIMS)
+
+
+@register("emb_near_dup")  # rows-only: LSH-blocked pair generation
+def emb_near_dup(spark, sf_dir):
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (aggregation / join / window / sessionize)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'FURNITURE'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        F.broadcast(c)
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_windowed",
+    """
+    SELECT event_type,
+           CAST(floor(floor(epoch(ts)) / 600) AS BIGINT) AS win,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sval
+    FROM events
+    GROUP BY event_type, win
+    """,
+)
+def events_windowed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.floor(_epoch(F.col("ts")) / 600).cast("long")
+    return ev.groupBy("event_type", win.alias("win")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sval"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(_epoch(F.col("ts"))).over(w)
+    new_session = F.when(prev.isNull() | (_epoch(F.col("ts")) - prev > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
     )
