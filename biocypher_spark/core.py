@@ -1,0 +1,224 @@
+"""BioCypherSpark facade: the reference's ``BioCypher`` entry-point surface
+(/root/reference/biocypher/_core.py:81-793) re-expressed over Spark.
+
+Accepts either reference-style entity tuples (node 3-tuples / edge
+4-or-5-tuples, auto-dispatched on tuple length like ``translate_entities``,
+/root/reference/biocypher/_translate.py:60-73) or already-staged DataFrames.
+Offline mode writes the Neo4j admin-import batch layout; online/in-memory
+mode accumulates a dict of per-type DataFrames (``add``/``get_kg``/
+``to_df``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Union
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from .inmemory import InMemoryKG, PandasCSVWriter
+from .mapping import SchemaMapping
+from .model import edges_from_tuples, nodes_from_tuples
+from .ontology import NullOntology, Ontology
+from .translate import SparkTranslator
+from .writer.neo4j import Neo4jBatchWriter
+
+
+class BioCypherSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        dbms: str = "neo4j",
+        offline: bool = True,
+        output_directory: str = "biocypher-out",
+        schema_config_path: Optional[str] = None,
+        schema: Optional[dict] = None,
+        head_ontology_parent_map: Optional[dict] = None,
+        head_ontology_file: Optional[str] = None,
+        strict_mode: bool = False,
+        **writer_kwargs,
+    ):
+        self.spark = spark
+        self.dbms = dbms
+        self.offline = offline
+        self.outdir = output_directory
+        self.strict_mode = strict_mode
+        self.mapping = SchemaMapping(config_file=schema_config_path, schema=schema)
+        if head_ontology_parent_map or head_ontology_file:
+            self.ontology = Ontology(
+                self.mapping, parent_map=head_ontology_parent_map, hierarchy_file=head_ontology_file
+            )
+        else:
+            # headless is the default here (no network, no rdflib); reference
+            # behaviour per NullOntology (_ontology.py:899-949)
+            self.ontology = NullOntology(self.mapping)
+        self.translator = SparkTranslator(spark, self.ontology, strict_mode=strict_mode)
+        self._writer: Optional[Neo4jBatchWriter] = None
+        self._writer_kwargs = writer_kwargs
+        self._kg: Optional[InMemoryKG] = None
+        self._missing: dict[str, int] = {}
+
+    # -- lazy components -----------------------------------------------------
+
+    @property
+    def writer(self) -> Neo4jBatchWriter:
+        if self._writer is None:
+            self._writer = Neo4jBatchWriter(
+                self.spark,
+                self.translator,
+                self.outdir,
+                strict_mode=self.strict_mode,
+                **self._writer_kwargs,
+            )
+        return self._writer
+
+    @property
+    def kg(self) -> InMemoryKG:
+        if self._kg is None:
+            self._kg = InMemoryKG(self.translator)
+        return self._kg
+
+    # -- input staging ----------------------------------------------------------
+
+    def _stage(self, entities: Union[DataFrame, Iterable], kind: Optional[str] = None):
+        if isinstance(entities, DataFrame):
+            return entities, (kind or ("edge" if "src" in entities.columns else "node"))
+        entities = list(entities)
+        if not entities:
+            return None, kind
+        first = entities[0]
+        if len(first) < 4:
+            return nodes_from_tuples(self.spark, entities), "node"
+        return edges_from_tuples(self.spark, entities), "edge"
+
+    def _accumulate_missing(self, missing_df: DataFrame) -> None:
+        for r in missing_df.collect():
+            self._missing[r["input_label"]] = self._missing.get(r["input_label"], 0) + r["count"]
+
+    # -- offline batch writes (S3) ------------------------------------------------
+
+    def write_nodes(self, entities, batch_size: int = int(1e6), force: bool = False) -> bool:
+        staged, _ = self._stage(entities, "node")
+        if staged is None:
+            return True
+        out = self.translator.translate_nodes(staged)
+        self._accumulate_missing(out.missing)
+        self.writer.batch_size = int(batch_size)
+        return self.writer.write_nodes(out.nodes, force=force)
+
+    def write_edges(self, entities, batch_size: int = int(1e6)) -> bool:
+        staged, _ = self._stage(entities, "edge")
+        if staged is None:
+            return True
+        out = self.translator.translate_edges(staged)
+        self._accumulate_missing(out.missing)
+        self.writer.batch_size = int(batch_size)
+        return self.writer.write_edges(out)
+
+    def write_import_call(self) -> str:
+        return self.writer.write_import_call()
+
+    # -- in-memory KG (S11/S12) ------------------------------------------------------
+
+    def add(self, entities) -> None:
+        staged, kind = self._stage(entities)
+        if staged is None:
+            return
+        if kind == "edge":
+            out = self.translator.translate_edges(staged)
+            self._accumulate_missing(out.missing)
+            self.kg.add_edges(out)
+        else:
+            out = self.translator.translate_nodes(staged)
+            self._accumulate_missing(out.missing)
+            self.kg.add_nodes(out.nodes)
+
+    add_nodes = add
+    add_edges = add
+    merge_nodes = add
+    merge_edges = add
+
+    def get_kg(self) -> dict[str, DataFrame]:
+        return self.kg.get_kg()
+
+    def to_df(self) -> dict:
+        return self.kg.to_df()
+
+    def to_networkx(self):
+        return self.kg.to_networkx()
+
+    def write_csv(self, output_directory: Optional[str] = None) -> list[str]:
+        return PandasCSVWriter(output_directory or self.outdir).write(self.get_kg())
+
+    # -- reporting (T5/D4/D9) ------------------------------------------------------------
+
+    def log_missing_input_labels(self) -> Optional[dict[str, int]]:
+        return dict(self._missing) or None
+
+    def log_duplicates(self) -> None:
+        for df in (self.writer.get_duplicate_nodes(), self.writer.get_duplicate_edges()):
+            if df is not None:
+                df.show(truncate=False)
+
+    def write_schema_info(self, as_node: bool = False) -> dict:
+        """Schema-info aggregation (D9; reference ``write_schema_info``,
+        /root/reference/biocypher/_core.py:713-793): extended schema plus
+        present_in_knowledge_graph / is_relationship flags derived from what
+        was actually written."""
+        written_nodes = set(self.writer.node_property_dict)
+        written_edges = set(self.writer.edge_property_dict)
+        info: dict = {"is_schema_info": True}
+        for cls, conf in self.mapping.extended_schema.items():
+            entry = dict(conf)
+            label_as_edge = conf.get("label_as_edge")
+            present = (
+                cls in written_nodes
+                or cls in written_edges
+                or (label_as_edge is not None and label_as_edge in written_edges)
+            )
+            entry["present_in_knowledge_graph"] = present
+            entry["is_relationship"] = conf.get("represented_as") == "edge"
+            info[cls] = entry
+        os.makedirs(self.outdir, exist_ok=True)
+        path = os.path.join(self.outdir, "schema_info.yaml")
+        with open(path, "w") as fh:
+            yaml.safe_dump(info, fh, sort_keys=False)
+        if as_node:
+            import json
+
+            self.writer.write_nodes(
+                self.translator.translate_nodes(
+                    nodes_from_tuples(
+                        self.spark,
+                        [("schema_info", "schema_info", {"schema_info": json.dumps(info, default=str)})],
+                    )
+                ).nodes
+                if "schema_info" in self.translator.mappings
+                else self._schema_info_node(info),
+                force=True,
+            )
+        return info
+
+    def _schema_info_node(self, info: dict) -> DataFrame:
+        import json
+
+        from .model import NODE_SCHEMA
+
+        return self.spark.createDataFrame(
+            [("schema_info", "schema_info", "id", {"schema_info": json.dumps(json.dumps(info, default=str))}, 0)],
+            NODE_SCHEMA,
+        )
+
+    # -- term translation (T9) --------------------------------------------------------------
+
+    def translate_term(self, term: str):
+        return self.translator.translate_term(term)
+
+    def reverse_translate_term(self, term: str):
+        return self.translator.reverse_translate_term(term)
+
+    def translate_query(self, query: str):
+        return self.translator.translate(query)
+
+    def reverse_translate_query(self, query: str):
+        return self.translator.reverse_translate(query)

@@ -1,0 +1,97 @@
+"""Facade + in-memory KG tests (mirror of reference test_core.py surface)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_spark.core import BioCypherSpark
+from fixtures.data_generator import (
+    mirna_nodes,
+    mutated_edges,
+    perturbed_edges,
+    protein_nodes,
+    rel_as_node_edges,
+)
+
+
+@pytest.fixture()
+def bc(spark, schema_path, tmp_path):
+    return BioCypherSpark(spark, output_directory=str(tmp_path), schema_config_path=schema_path)
+
+
+def test_write_nodes_from_tuples(bc, tmp_path):
+    assert bc.write_nodes(protein_nodes(4) + mirna_nodes(4))
+    bc.write_import_call()
+    assert os.path.isfile(tmp_path / "Protein-part000.csv")
+    assert os.path.isfile(tmp_path / "MicroRNA-header.csv")
+    assert os.path.isfile(tmp_path / "neo4j-admin-import-call.sh")
+
+
+def test_write_edges_and_missing(bc, tmp_path):
+    edges = perturbed_edges(4)[1:] + [("x1", "a", "b", "nonexistent_label", {})]
+    assert bc.write_edges(edges)
+    assert os.path.isfile(tmp_path / "PERTURBED_IN_DISEASE-part000.csv")
+    assert bc.log_missing_input_labels() == {"nonexistent_label": 1}
+
+
+def test_in_memory_kg(bc):
+    bc.add(protein_nodes(4))
+    bc.add(mirna_nodes(2))
+    bc.add(perturbed_edges(4)[1:])
+    kg = bc.get_kg()
+    # edge frames are keyed by relationship label (reference keys per-type
+    # frames by entity.get_type(), output/in_memory/_in_memory_kg.py)
+    assert set(kg) == {"protein", "microRNA", "PERTURBED_IN_DISEASE"}
+    dfs = bc.to_df()
+    prot = dfs["protein"]
+    assert len(prot) == 4
+    assert set(prot.columns) >= {"node_id", "name", "score", "taxon", "genes", "id", "preferred_id"}
+    assert prot.loc[prot.node_id == "p1", "score"].iloc[0] == 4.0
+    assert list(prot.loc[prot.node_id == "p1", "genes"].iloc[0]) == ["gene1", "gene2"]
+    edges = dfs["PERTURBED_IN_DISEASE"]
+    assert len(edges) == 3
+    assert set(edges.columns) >= {"source_id", "target_id", "residue", "level"}
+
+
+def test_in_memory_rel_as_node(bc):
+    bc.add(rel_as_node_edges(3))
+    kg = bc.get_kg()
+    assert "post translational interaction" in kg
+    assert "IS_SOURCE_OF" in kg
+    assert kg["post translational interaction"].count() == 3
+    assert kg["IS_SOURCE_OF"].count() == 3
+
+
+def test_to_networkx(bc):
+    bc.add(protein_nodes(3))
+    bc.add(perturbed_edges(3)[1:])
+    g = bc.to_networkx()
+    assert g.number_of_nodes() >= 3
+    assert g.number_of_edges() == 2
+    assert g.nodes["p1"]["node_label"] == "protein"
+
+
+def test_write_csv(bc, tmp_path):
+    bc.add(protein_nodes(2))
+    files = bc.write_csv()
+    assert any(f.endswith("Protein.csv") for f in files)
+    with open([f for f in files if f.endswith("Protein.csv")][0]) as fh:
+        header = fh.readline()
+    assert "node_id" in header and "score" in header
+
+
+def test_schema_info(bc, tmp_path):
+    bc.write_nodes(protein_nodes(2))
+    info = bc.write_schema_info()
+    assert info["is_schema_info"] is True
+    assert info["protein"]["present_in_knowledge_graph"] is True
+    assert info["microRNA"]["present_in_knowledge_graph"] is False
+    assert info["gene to disease association"]["is_relationship"] is True
+    assert os.path.isfile(tmp_path / "schema_info.yaml")
+
+
+def test_duplicate_logging(bc):
+    bc.write_nodes(protein_nodes(2) + protein_nodes(2))
+    dups = bc.writer.get_duplicate_nodes()
+    assert {r["dup_id"] for r in dups.collect()} == {"p1", "p2"}
