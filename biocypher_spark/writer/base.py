@@ -41,12 +41,16 @@ BOOL_ARRAY = {"bool[]", "boolean[]"}
 STR_ARRAY = {"str[]", "string[]"}
 
 
-def quote_expr(col: Column, quote: str) -> Column:
-    """Quote a string column; embedded quote chars are doubled.
+def quote_expr(col: Column, quote: str, mode: str = "double") -> Column:
+    """Quote a string column.
 
-    (Reference: ``_Neo4jBatchWriter._quote_string``,
-    /root/reference/biocypher/output/write/graph/_neo4j.py:66-68.)
+    ``double`` doubles embedded quote chars (Neo4j,
+    /root/reference/biocypher/output/write/graph/_neo4j.py:66-68);
+    ``plain`` wraps without escaping (PostgreSQL writer,
+    /root/reference/biocypher/output/write/relational/_postgresql.py:60-62).
     """
+    if mode == "plain":
+        return F.concat(F.lit(quote), col, F.lit(quote))
     return F.concat(F.lit(quote), F.replace(col, F.lit(quote), F.lit(quote * 2)), F.lit(quote))
 
 
@@ -58,7 +62,15 @@ def _python_bool_elems(arr: Column) -> Column:
     )
 
 
-def serialize_prop(raw: Column, declared: Optional[str], quote: str, adelim: str, scrub: bool) -> Column:
+def serialize_prop(
+    raw: Column,
+    declared: Optional[str],
+    quote: str,
+    adelim: str,
+    scrub: bool,
+    quote_mode: str = "double",
+    array_mode: str = "delim",
+) -> Column:
     """One property value (JSON-encoded) -> its CSV field string.
 
     Branch structure matches ``_write_single_node_list_to_file``
@@ -76,15 +88,19 @@ def serialize_prop(raw: Column, declared: Optional[str], quote: str, adelim: str
     def maybe_scrub(c: Column) -> Column:
         return scrub_newlines(c) if scrub else c
 
-    array_field = quote_expr(
-        F.concat_ws(adelim, _python_bool_elems(F.transform(decoded_arr, maybe_scrub))), quote
-    )
+    elems = _python_bool_elems(F.transform(decoded_arr, maybe_scrub))
+    if array_mode == "pg":
+        # PostgreSQL COPY array literal: "{a,b}" (reference
+        # _postgresql.py:64-82)
+        array_field = F.concat(F.lit('"{'), F.concat_ws(",", elems), F.lit('}"'))
+    else:
+        array_field = quote_expr(F.concat_ws(adelim, elems), quote, quote_mode)
     if declared in BOOL_TYPES:
         value = F.lower(json_pystr(raw))
     elif declared in LONG_TYPES or declared in DOUBLE_TYPES:
         value = json_pystr(raw)
     else:
-        string_field = quote_expr(maybe_scrub(json_pystr(raw)), quote)
+        string_field = quote_expr(maybe_scrub(json_pystr(raw)), quote, quote_mode)
         value = F.when(raw.startswith("["), array_field).otherwise(string_field)
         return F.when(is_null, F.lit("")).otherwise(value)
     # declared scalar types can still receive list values -> array branch
@@ -92,14 +108,28 @@ def serialize_prop(raw: Column, declared: Optional[str], quote: str, adelim: str
     return F.when(is_null, F.lit("")).otherwise(value)
 
 
-def node_line_expr(prop_dict: dict, label_string: str, delim: str, adelim: str, quote: str) -> Column:
+def node_line_expr(
+    prop_dict: dict,
+    label_string: str,
+    delim: str,
+    adelim: str,
+    quote: str,
+    quote_mode: str = "double",
+    array_mode: str = "delim",
+    include_labels: bool = True,
+) -> Column:
     """Build the full CSV line for one node label:
     ``id ; props... ; :LABEL-string``."""
     pieces: list[Column] = [F.col("node_id")]
     for key, declared in prop_dict.items():
         raw = F.element_at(F.col("props"), key)
-        pieces.append(F.coalesce(serialize_prop(raw, declared, quote, adelim, scrub=True), F.lit("")))
-    pieces.append(F.lit(label_string))
+        pieces.append(
+            F.coalesce(
+                serialize_prop(raw, declared, quote, adelim, True, quote_mode, array_mode), F.lit("")
+            )
+        )
+    if include_labels:
+        pieces.append(F.lit(label_string))
     return F.concat_ws(delim, *pieces)
 
 
@@ -110,6 +140,9 @@ def edge_line_expr(
     adelim: str,
     quote: str,
     skip_id: bool,
+    quote_mode: str = "double",
+    array_mode: str = "delim",
+    include_labels: bool = True,
 ) -> Column:
     """CSV line for one edge label:
     ``:START_ID ; [id] ; props... ; :END_ID ; :TYPE``."""
@@ -118,9 +151,14 @@ def edge_line_expr(
         pieces.append(F.coalesce(F.col("relationship_id"), F.lit("")))
     for key, declared in prop_dict.items():
         raw = F.element_at(F.col("props"), key)
-        pieces.append(F.coalesce(serialize_prop(raw, declared, quote, adelim, scrub=False), F.lit("")))
+        pieces.append(
+            F.coalesce(
+                serialize_prop(raw, declared, quote, adelim, False, quote_mode, array_mode), F.lit("")
+            )
+        )
     pieces.append(F.col("target_id"))
-    pieces.append(F.lit(label_string))
+    if include_labels:
+        pieces.append(F.lit(label_string))
     return F.concat_ws(delim, *pieces)
 
 

@@ -71,7 +71,18 @@ def _header_type_suffix(key: str, declared: Optional[str]) -> str:
 
 
 class Neo4jBatchWriter:
-    """Write node/edge DataFrames in Neo4j admin-import layout."""
+    """Write node/edge DataFrames in Neo4j admin-import layout.
+
+    Subclasses override the dialect knobs (``quote_mode``, ``array_mode``),
+    header/DDL emission, and the import-call script to cover the other batch
+    targets (PostgreSQL/SQLite/ArangoDB), mirroring the reference's
+    ``_BatchWriter`` hierarchy."""
+
+    quote_mode = "double"
+    array_mode = "delim"
+    forced_edge_labels_order = "Leaves"  # Neo4j: single edge label (_neo4j.py:44-52)
+    node_line_includes_labels = True
+    edge_line_includes_labels = True
 
     def __init__(
         self,
@@ -109,10 +120,7 @@ class Neo4jBatchWriter:
         self.import_call_bin_prefix = import_call_bin_prefix or "bin/"
         self.import_call_file_prefix = import_call_file_prefix or output_directory
         self.node_labels_order = node_labels_order or labels_order
-        # Neo4j forces single-label edges (reference _neo4j.py:44-52)
-        self.edge_labels_order = "Leaves"
-        if (edge_labels_order or labels_order) != "Leaves":
-            pass  # warning-level downgrade in the reference; silently forced here
+        self.edge_labels_order = self.forced_edge_labels_order or (edge_labels_order or labels_order)
         if self.node_labels_order not in _LABELS_ORDERS:
             raise ValueError(f"Invalid labels_order: {self.node_labels_order}")
         self.batch_size = int(batch_size)
@@ -278,7 +286,16 @@ class Neo4jBatchWriter:
 
         line, plabel = None, None
         for label in firsts:
-            expr = node_line_expr(prop_dicts[label], label_strings[label], self.delim, self.adelim, self.quote)
+            expr = node_line_expr(
+                prop_dicts[label],
+                label_strings[label],
+                self.delim,
+                self.adelim,
+                self.quote,
+                self.quote_mode,
+                self.array_mode,
+                self.node_line_includes_labels,
+            )
             e = F.lit(pascal_file_label(label))
             if line is None:
                 line, plabel = expr, e
@@ -387,15 +404,17 @@ class Neo4jBatchWriter:
         line = None
         plabel = None
         for label in firsts:
-            # Neo4j edges always use Leaves order -> single quoted label
-            label_string = self._array_string([sentence_to_pascal(label)])
+            label_string = self._all_labels(label, self.edge_labels_order)
             expr = edge_line_expr(
                 prop_dicts[label],
                 label_string,
                 self.delim,
                 self.adelim,
                 self.quote,
-                skip_id=self._edge_skip_id(label),
+                self._edge_skip_id(label),
+                self.quote_mode,
+                self.array_mode,
+                self.edge_line_includes_labels,
             )
             e = F.lit(pascal_file_label(label))
             if line is None:
@@ -468,8 +487,11 @@ class Neo4jBatchWriter:
             "fi\n"
         )
 
+    def _import_script_name(self) -> str:
+        return "neo4j-admin-import-call.sh"
+
     def write_import_call(self) -> str:
-        path = os.path.join(self.outdir, "neo4j-admin-import-call.sh")
+        path = os.path.join(self.outdir, self._import_script_name())
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(self.get_import_call())
         return path

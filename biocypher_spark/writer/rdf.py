@@ -1,0 +1,104 @@
+"""RDF sink (S8): N-Triples, one file per label.
+
+Reference: ``_RDFWriter`` (/root/reference/biocypher/output/write/graph/
+_rdf.py:30-687) supports many rdflib serializations; rdflib is not available
+in this sandbox, so this writer emits the line-oriented N-Triples format
+directly from column expressions (`concat` of escaped terms), which is also
+the only format that can be produced scalably without collecting the graph.
+Nodes become ``<id> rdf:type <Class>`` plus one triple per property
+(reference node triples :347-417); edges with an id are reified through
+rdf:subject/rdf:predicate/rdf:object (reference edge reification :183-266),
+id-less edges become direct triples."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import json_pystr
+from ..naming import sentence_to_pascal
+from .base import pascal_file_label
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+RDF_SUBJECT = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject>"
+RDF_OBJECT = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#object>"
+
+
+def _escape_literal(col):
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    return F.regexp_replace(out, "\r", "\\\\r")
+
+
+def _iri(namespace: str, col):
+    safe = F.regexp_replace(col, "[^a-zA-Z0-9_.:-]", "_")
+    return F.concat(F.lit(f"<{namespace}"), safe, F.lit(">"))
+
+
+class RDFWriter:
+    def __init__(self, spark, translator, output_directory: str, namespace: str = "https://biocypher.org/biocypher#"):
+        self.spark = spark
+        self.translator = translator
+        self.outdir = output_directory
+        self.ns = namespace
+        os.makedirs(self.outdir, exist_ok=True)
+
+    def _write_label_file(self, lines: DataFrame, filename: str) -> str:
+        tmp = os.path.join(self.outdir, "_tmp_rdf")
+        lines.coalesce(1).write.mode("overwrite").text(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        target = os.path.join(self.outdir, filename)
+        shutil.move(part, target)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return target
+
+    def write_nodes(self, nodes: DataFrame) -> list[str]:
+        written = []
+        labels = [r[0] for r in nodes.select("node_label").distinct().collect()]
+        for label in labels:
+            sub = nodes.filter(F.col("node_label") == label)
+            subject = _iri(self.ns, F.col("node_id"))
+            cls = f"<{self.ns}{sentence_to_pascal(label)}>"
+            type_line = F.concat(subject, F.lit(f" {RDF_TYPE} {cls} ."))
+            prop_lines = F.transform(
+                F.map_entries("props"),
+                lambda e: F.concat(
+                    subject,
+                    F.lit(" "),
+                    _iri(self.ns, e["key"]),
+                    F.lit(' "'),
+                    _escape_literal(json_pystr(e["value"])),
+                    F.lit('" .'),
+                ),
+            )
+            lines = sub.select(
+                F.explode(F.concat(F.array(type_line), prop_lines)).alias("value")
+            )
+            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.nt"))
+        return written
+
+    def write_edges(self, edges: DataFrame) -> list[str]:
+        written = []
+        labels = [r[0] for r in edges.select("relationship_label").distinct().collect()]
+        for label in labels:
+            sub = edges.filter(F.col("relationship_label") == label)
+            pred = f"<{self.ns}{sentence_to_pascal(label)}>"
+            src = _iri(self.ns, F.col("source_id"))
+            tgt = _iri(self.ns, F.col("target_id"))
+            direct = F.concat(src, F.lit(f" {pred} "), tgt, F.lit(" ."))
+            rel = _iri(self.ns, F.col("relationship_id"))
+            reified = F.concat(
+                rel, F.lit(f" {RDF_TYPE} {pred} .\n"),
+                rel, F.lit(f" {RDF_SUBJECT} "), src, F.lit(" .\n"),
+                rel, F.lit(f" {RDF_OBJECT} "), tgt, F.lit(" ."),
+            )
+            lines = sub.select(
+                F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
+            )
+            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.nt"))
+        return written

@@ -1,0 +1,94 @@
+"""Secondary sink tests: PostgreSQL, SQLite, ArangoDB, RDF (S4/S5/S6/S8)."""
+
+import os
+
+import pytest
+
+from biocypher_spark.mapping import SchemaMapping
+from biocypher_spark.model import edges_from_tuples, nodes_from_tuples
+from biocypher_spark.ontology import NullOntology
+from biocypher_spark.translate import SparkTranslator
+from biocypher_spark.writer.arango import ArangoDBBatchWriter
+from biocypher_spark.writer.postgres import PostgresBatchWriter, SQLiteBatchWriter
+from biocypher_spark.writer.rdf import RDFWriter
+from fixtures.data_generator import mirna_nodes, perturbed_edges, protein_nodes
+
+
+@pytest.fixture()
+def translator(spark, schema_path):
+    return SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+
+
+def read(p):
+    with open(p) as fh:
+        return fh.read()
+
+
+def test_postgres_writer(spark, translator, tmp_path):
+    bw = PostgresBatchWriter(spark, translator, str(tmp_path), delimiter=";")
+    out = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(3)))
+    assert bw.write_nodes(out.nodes)
+    oute = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:]))
+    assert bw.write_edges(oute)
+    bw.write_import_call()
+
+    ddl = read(tmp_path / "protein-create_table.sql")
+    assert "DROP TABLE IF EXISTS protein;" in ddl
+    assert "CREATE TABLE protein(_ID VARCHAR,name VARCHAR,score NUMERIC,taxon INTEGER,genes VARCHAR[],id VARCHAR,preferred_id VARCHAR,_LABEL VARCHAR[])" in ddl
+    edge_ddl = read(tmp_path / "perturbed_in_disease-create_table.sql")
+    assert "_START_ID VARCHAR,_ID VARCHAR" in edge_ddl
+    assert "_END_ID VARCHAR,_TYPE VARCHAR" in edge_ddl
+
+    data = read(tmp_path / "Protein-part000.csv")
+    # pg array literal + plain quoting
+    assert '"{gene1,gene2}"' in data
+    assert '"StringProperty1"' in data
+    assert '"{Protein}"' in data
+
+    call = read(tmp_path / "neo4j-import-call.sh")
+    assert "psql -f" in call and "\\copy protein FROM" in call
+
+
+def test_sqlite_writer(spark, translator, tmp_path):
+    bw = SQLiteBatchWriter(spark, translator, str(tmp_path), delimiter=";", db_name="test.db")
+    out = translator.translate_nodes(nodes_from_tuples(spark, mirna_nodes(2)))
+    assert bw.write_nodes(out.nodes)
+    path = bw.write_import_call()
+    call = read(path)
+    assert "sqlite3 test.db <" in call
+    assert '.import' in call
+
+
+def test_arango_writer(spark, translator, tmp_path):
+    bw = ArangoDBBatchWriter(spark, translator, str(tmp_path))
+    out = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2)))
+    assert bw.write_nodes(out.nodes)
+    oute = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:]))
+    assert bw.write_edges(oute)
+    bw.write_import_call()
+
+    header = read(tmp_path / "Protein-header.csv")
+    assert header.startswith("_key;")
+    assert ":LABEL" not in header
+    edge_header = read(tmp_path / "PERTURBED_IN_DISEASE-header.csv")
+    assert edge_header.startswith("_from;_key;")
+    assert edge_header.endswith(";_to")
+    data = read(tmp_path / "Protein-part000.csv")
+    # no trailing label column: last field is preferred_id
+    assert data.splitlines()[0].endswith("'uniprot'")
+    call = read(tmp_path / "arangodb-import-call.sh")
+    assert "arangoimp" in call and "--collection proteins" in call
+
+
+def test_rdf_writer(spark, translator, tmp_path):
+    w = RDFWriter(spark, translator, str(tmp_path))
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    nt = read(tmp_path / "Protein.nt")
+    assert "<https://biocypher.org/biocypher#p1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://biocypher.org/biocypher#Protein> ." in nt
+    assert '"StringProperty1" .' in nt
+    ent = read(tmp_path / "PERTURBED_IN_DISEASE.nt")
+    assert "rdf-syntax-ns#subject>" in ent
+    assert "rdf-syntax-ns#object>" in ent
