@@ -1,0 +1,67 @@
+"""Physical-plan quality assertions: broadcast joins, pushdown, codegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_spark.mapping import SchemaMapping
+from biocypher_spark.model import nodes_from_tuples
+from biocypher_spark.ontology import NullOntology
+from biocypher_spark.plans import count_shuffles, formatted_plan, plan_has, uses_broadcast_join
+from biocypher_spark.translate import SparkTranslator
+from fixtures.data_generator import protein_nodes
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_translator_uses_broadcast_join(spark, schema_path):
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    out = t.translate_nodes(nodes_from_tuples(spark, protein_nodes(4)))
+    assert uses_broadcast_join(out.nodes)
+    # no shuffle in the translate stage itself: broadcast join only
+    assert count_shuffles(out.nodes) == 0
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_partkey") == 7).select("l_orderkey", "l_quantity")
+    plan = formatted_plan(q)
+    assert "PushedFilters" in plan and "l_partkey" in plan
+    # column pruning: ReadSchema carries only needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimension(spark):
+    from biocypher_spark.queries import q3_top_orders
+
+    assert uses_broadcast_join(q3_top_orders(spark, SF))
+
+
+def test_whole_stage_codegen_on_textops(spark):
+    from biocypher_spark.textops import quality_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(quality_score(docs))
+    # higher-order lambda functions are evaluated JVM-side outside codegen;
+    # the requirement is: columnar scan, no Python evaluation anywhere
+    assert "codegen id" in plan
+    assert "Scan parquet" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_extraction_expr_no_python(spark):
+    from biocypher_spark.extract import extract_mentions_expr
+    from biocypher_spark.transcripts import generate_transcripts
+
+    m = extract_mentions_expr(generate_transcripts(spark, 100))
+    plan = formatted_plan(m)
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_single_shuffle(spark, schema_path):
+    from biocypher_spark.dedup import dedup_nodes
+
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    nodes = t.translate_nodes(nodes_from_tuples(spark, protein_nodes(8))).nodes
+    kept = dedup_nodes(nodes).kept
+    # translate (broadcast) + window dedup => exactly one exchange
+    assert count_shuffles(kept) == 1
