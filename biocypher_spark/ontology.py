@@ -147,6 +147,78 @@ class Ontology:
         keep = {n for n in self._parents if root in self.get_ancestors(n)}
         self._parents = {n: [p for p in ps if p in keep] for n, ps in self._parents.items() if n in keep}
 
+    # -- hybridisation (O3) --------------------------------------------------
+
+    def graft(
+        self,
+        tail: "Ontology",
+        head_join_node: str,
+        tail_join_node: str,
+        merge_nodes: bool = True,
+    ) -> None:
+        """Graft a tail ontology's subtree onto this one at a join node.
+
+        ``merge_nodes=True`` renames the tail join node into the head join
+        node (single merged node); ``False`` attaches the tail join node as
+        a child of the head join node (reference ``_join_ontologies``,
+        /root/reference/biocypher/_ontology.py:606-647).
+        """
+        if head_join_node not in self._parents:
+            raise ValueError(f"head join node {head_join_node!r} not in ontology")
+        if tail_join_node not in tail._parents:
+            raise ValueError(f"tail join node {tail_join_node!r} not in tail ontology")
+        # descendants of the tail join node (children-of relation inverted)
+        children: dict[str, list[str]] = {}
+        for child, parents in tail._parents.items():
+            for p in parents:
+                children.setdefault(p, []).append(child)
+        keep = set()
+        stack = [tail_join_node]
+        while stack:
+            n = stack.pop()
+            if n in keep:
+                continue
+            keep.add(n)
+            stack.extend(children.get(n, []))
+
+        def rename(n: str) -> str:
+            return head_join_node if (merge_nodes and n == tail_join_node) else n
+
+        for child in keep:
+            for p in tail._parents.get(child, []):
+                if p in keep:
+                    self._add_edges(rename(child), [rename(p)])
+        if not merge_nodes:
+            self._add_edges(tail_join_node, [head_join_node])
+
+    # -- visualisation (O6) ----------------------------------------------------
+
+    def tree_string(self, root: Optional[str] = None) -> str:
+        """ASCII tree of the DAG (reference uses treelib,
+        /root/reference/biocypher/_ontology.py:767-856; treelib is not
+        available here so this renders directly)."""
+        children: dict[str, list[str]] = {}
+        roots = []
+        for child, parents in sorted(self._parents.items()):
+            if not parents:
+                roots.append(child)
+            for p in parents:
+                children.setdefault(p, []).append(child)
+        if root is not None:
+            roots = [root]
+        lines: list[str] = []
+
+        def walk(node: str, prefix: str, seen: frozenset):
+            lines.append(prefix + node)
+            if node in seen:
+                return
+            for c in sorted(children.get(node, [])):
+                walk(c, prefix + "    ", seen | {node})
+
+        for r in roots:
+            walk(r, "", frozenset())
+        return "\n".join(lines)
+
     # -- queries -----------------------------------------------------------
 
     def has_node(self, label: str) -> bool:
