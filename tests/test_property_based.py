@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis), mirroring the reference's use of
+hypothesis for invariants (reference test_create.py:11-35)."""
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biocypher_spark.mapping import SchemaMapping
+from biocypher_spark.naming import (
+    parse_label,
+    pascalcase_to_sentencecase,
+    sentence_to_pascal,
+    sentencecase_to_snakecase,
+)
+
+# min word length 2: the reference's lowercase regex ([a-zA-Z]*[a-z][a-zA-Z]*)
+# leaves single uppercase letters untouched, so 1-letter words don't
+# round-trip in the reference either (/root/reference/biocypher/_misc.py:141-151)
+words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=8), min_size=1, max_size=4
+)
+
+
+@given(words)
+def test_sentence_pascal_roundtrip(ws):
+    sentence = " ".join(ws)
+    pascal = sentence_to_pascal(sentence)
+    assert " " not in pascal
+    assert pascalcase_to_sentencecase(pascal) == sentence
+
+
+@given(words)
+def test_snakecase_stable(ws):
+    sentence = " ".join(ws)
+    snake = sentencecase_to_snakecase(sentence)
+    assert snake == "_".join(ws)
+
+
+@given(st.text(max_size=30))
+def test_parse_label_output_compliant(s):
+    out = parse_label(s)
+    if out:
+        assert re.fullmatch(r"[a-zA-Z0-9_$ .]*", out)
+        assert out[0].isalpha() or out[0] == "$"
+        assert out == out.strip()
+
+
+@given(st.text(max_size=30))
+def test_parse_label_idempotent(s):
+    once = parse_label(s)
+    assert parse_label(once) == once
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefghij ", min_size=1, max_size=12).filter(str.strip),
+        st.fixed_dictionaries({"represented_as": st.sampled_from(["node", "edge"])}),
+        max_size=5,
+    )
+)
+@settings(max_examples=50)
+def test_extend_schema_idempotent(schema):
+    """Compiling the compiled schema again must not change it."""
+    first = SchemaMapping(schema={k: dict(v) for k, v in schema.items()}).extended_schema
+    second = SchemaMapping(schema={k: dict(v) for k, v in first.items()}).extended_schema
+    assert set(first) == set(second)
+
+
+@given(st.text(max_size=40))
+def test_json_scalar_encoding_roundtrip(s):
+    """The JSON property-bag encoding used across staging must round-trip
+    arbitrary text (incl. quotes/newlines/unicode)."""
+    encoded = json.dumps(s)
+    assert json.loads(encoded) == s
