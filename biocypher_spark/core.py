@@ -209,6 +209,28 @@ class BioCypherSpark:
             NODE_SCHEMA,
         )
 
+    # -- summaries (O6 / D8 parity) ---------------------------------------------------------
+
+    def show_ontology_structure(self) -> str:
+        """ASCII ontology hierarchy (reference ``show_ontology_structure``,
+        /root/reference/biocypher/_ontology.py:767-856)."""
+        if isinstance(self.ontology, Ontology):
+            tree = self.ontology.tree_string()
+        else:
+            tree = "\n".join(sorted(self.mapping.extended_schema))
+        print(tree)
+        return tree
+
+    def summary(self) -> dict:
+        """Top-5 node and edge types by count from the in-memory KG
+        (reference ``get_summary``, _workflow.py:494-518)."""
+        counts = {label: df.count() for label, df in self.get_kg().items()}
+        node_labels = set(self._kg._node_frames) if self._kg else set()
+        nodes = {k: v for k, v in counts.items() if k in node_labels}
+        edges = {k: v for k, v in counts.items() if k not in node_labels}
+        top = lambda d: dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:5])  # noqa: E731
+        return {"top_node_types": top(nodes), "top_edge_types": top(edges)}
+
     # -- term translation (T9) --------------------------------------------------------------
 
     def translate_term(self, term: str):

@@ -32,6 +32,35 @@ from .writer.neo4j import Neo4jBatchWriter
 
 DEFAULT_SCHEMA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "config", "transcripts_schema.yaml")
 
+# embedded fallback for spark-submit --py-files deployments where the repo's
+# config/ directory is not on the local filesystem (zip import)
+DEFAULT_SCHEMA_DICT: dict = {
+    "protein": {
+        "represented_as": "node",
+        "preferred_id": "canon",
+        "input_label": "protein",
+        "properties": {"name": "str"},
+    },
+    "disease": {
+        "represented_as": "node",
+        "preferred_id": "canon",
+        "input_label": "disease",
+        "properties": {"name": "str"},
+    },
+    "protein protein interaction": {
+        "represented_as": "edge",
+        "label_as_edge": "INTERACTS_WITH",
+        "input_label": "protein_protein",
+        "properties": {"turns": "int"},
+    },
+    "protein disease association": {
+        "represented_as": "edge",
+        "label_as_edge": "LINKED_TO",
+        "input_label": "protein_disease",
+        "properties": {"turns": "int"},
+    },
+}
+
 _LINEAGE_BUCKETS = 16
 
 
@@ -72,7 +101,10 @@ class KGPipeline:
         self.outdir = output_directory
         self.run_dir = run_dir or os.path.join(output_directory, "_run")
         os.makedirs(self.run_dir, exist_ok=True)
-        self.mapping = SchemaMapping(schema_config_path)
+        if schema_config_path == DEFAULT_SCHEMA and not os.path.exists(schema_config_path):
+            self.mapping = SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
+        else:
+            self.mapping = SchemaMapping(schema_config_path)
         self.translator = SparkTranslator(spark, NullOntology(self.mapping), strict_mode=strict_mode)
         self.link_threshold = link_threshold
         self.use_pandas_extraction = use_pandas_extraction

@@ -1,0 +1,59 @@
+"""Dump formatted physical plans of the engine's key stages to PLANS.md so
+plan quality is reviewable without running Spark."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from biocypher_spark.dedup import dedup_nodes
+    from biocypher_spark.extract import extract_mentions_expr
+    from biocypher_spark.linking import link_mentions
+    from biocypher_spark.mapping import SchemaMapping
+    from biocypher_spark.model import nodes_from_tuples
+    from biocypher_spark.ontology import NullOntology
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.queries import q3_top_orders
+    from biocypher_spark.transcripts import generate_transcripts
+    from biocypher_spark.translate import SparkTranslator
+
+    schema = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests/fixtures/test_schema_config.yaml")
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema)))
+    nodes_in = nodes_from_tuples(spark, [("p1", "protein", {"name": "x", "score": 1.0, "taxon": 1, "genes": []})])
+    translated = t.translate_nodes(nodes_in).nodes
+    deduped = dedup_nodes(translated).kept
+    transcripts = generate_transcripts(spark, 1000)
+    mentions = extract_mentions_expr(transcripts)
+    linked = link_mentions(mentions)
+
+    sections = {
+        "Translate (broadcast join, no shuffle)": translated,
+        "Dedup (single hash-partition window)": deduped,
+        "Extraction (built-in regexp, codegen)": mentions,
+        "Linking (blocked similarity join + broadcast map-back)": linked,
+        "Q3-style join (dimension broadcast)": q3_top_orders(spark, "/root/testdata/sf0.001"),
+    }
+    out = ["# PLANS — formatted physical plans of the hot-path stages\n"]
+    out.append("Regenerate with `python tools/explain_plans.py`.\n")
+    for title, df in sections.items():
+        out.append(f"\n## {title}\n\n```\n{formatted_plan(df).strip()}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
