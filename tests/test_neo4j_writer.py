@@ -201,3 +201,16 @@ def test_labels_order_with_ontology(spark, schema_path, tmp_path):
         bw.write_nodes(out.nodes)
         data = read(outdir / "Protein-part000.csv")
         assert data.strip().split(";")[-1] == expected, order
+
+
+def test_batch_boundary_cases(spark, bw, tmp_path):
+    """Reference parametrizes 1e4 and 1e4+4 around the batch size
+    (test_neo4j.py:496-520,632-670): exactly full batches must not produce
+    an empty trailing part file."""
+    bw.batch_size = int(1e4)
+    _write_translated_nodes(spark, bw, protein_nodes(10004))
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith("Protein-part"))
+    assert files == ["Protein-part000.csv", "Protein-part001.csv"]
+    n0 = sum(1 for _ in open(tmp_path / "Protein-part000.csv"))
+    n1 = sum(1 for _ in open(tmp_path / "Protein-part001.csv"))
+    assert (n0, n1) == (10000, 4)
