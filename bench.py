@@ -173,7 +173,10 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
-    pipeline = run_pipeline_job(spark, SCALING_TURNS, input_path=materialize_input(spark, SCALING_TURNS))
+    # in-session pipeline figure at a moderate size; the scaling section
+    # below carries the full-size N vs 4N evidence
+    inline_turns = min(SCALING_TURNS, 2_000_000)
+    pipeline = run_pipeline_job(spark, inline_turns, input_path=materialize_input(spark, inline_turns))
     timings["kg_pipeline_e2e"] = pipeline["sec"]
     spark.stop()
 
