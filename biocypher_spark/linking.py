@@ -60,6 +60,39 @@ def candidate_pairs(surfaces: DataFrame, key_col: str = "nkey") -> DataFrame:
     )
 
 
+def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Prefix-filtering candidate generation (PPJoin-style; see the
+    set-similarity-join literature in PAPERS.md).
+
+    For bigram sets A, B with Jaccard(A,B) >= t it holds that any pair must
+    share at least one element among each set's first
+    ``|S| - ceil(t * |S|) + 1`` elements under a single global ordering. We
+    order bigrams by ascending global document frequency (rarest first) so
+    prefixes are maximally selective; the bigram vocabulary is tiny
+    (<= alphabet^2), so the frequency table is computed once and broadcast.
+    """
+    grams = surfaces.select(F.col("nkey"), _bigrams(F.col("nkey")).alias("_grams"))
+    df_counts = (
+        grams.select(F.explode("_grams").alias("g")).groupBy("g").count().withColumnRenamed("count", "_df")
+    )
+    freq = {r["g"]: r["_df"] for r in df_counts.collect()}
+    order = {g: i for i, (g, _) in enumerate(sorted(freq.items(), key=lambda kv: (kv[1], kv[0])))}
+    spark = surfaces.sparkSession
+    order_df = spark.createDataFrame(list(order.items()), "g string, rank int")
+
+    exploded = grams.select("nkey", F.explode("_grams").alias("g"), F.size("_grams").alias("_n"))
+    ranked = exploded.join(F.broadcast(order_df), "g")
+    # keep each set's prefix: the (n - ceil(t*n) + 1) lowest-ranked grams
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("nkey").orderBy("rank")
+    prefix_len = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1
+    prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(F.col("_pos") <= prefix_len)
+    a = prefix.select(F.col("nkey").alias("ka"), "g")
+    b = prefix.select(F.col("nkey").alias("kb"), "g")
+    return a.join(b, "g").filter(F.col("ka") < F.col("kb")).select("ka", "kb").distinct()
+
+
 def score_pairs(pairs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Character-bigram Jaccard similarity, keep pairs >= threshold."""
     scored = pairs.withColumn("_ba", _bigrams(F.col("ka"))).withColumn("_bb", _bigrams(F.col("kb")))
@@ -69,18 +102,43 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.35) -> DataFrame:
     return scored.withColumn("sim", F.round(sim, 6)).filter(F.col("sim") >= threshold).select("ka", "kb", "sim")
 
 
-def canonicalize(mentions: DataFrame, threshold: float = 0.35, max_iter: int = 25) -> DataFrame:
-    """Mentions -> (surface, nkey, canonical_id) mapping table.
+def canonicalize(
+    mentions: DataFrame,
+    threshold: float = 0.35,
+    max_iter: int = 25,
+    driver_cc_threshold: int = 200_000,
+) -> DataFrame:
+    """Mentions -> (nkey, canonical_id) mapping table.
 
-    The mapping table is tiny relative to the corpus (distinct surfaces),
-    so downstream joins back onto mentions broadcast it.
+    Blocking + pair scoring run distributed; the component step runs on the
+    *distinct-surface* graph, which is tiny relative to the corpus. Below
+    ``driver_cc_threshold`` distinct surfaces the scored pairs are collected
+    and resolved with a driver-side union-find (replacing ~15 near-empty
+    Spark stages of iterative joins); above it, the distributed min-label
+    propagation takes over. The resulting map is broadcast back in either
+    case.
     """
     surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
-    pairs = candidate_pairs(surfaces)
+    surfaces = surfaces.persist()
+    n_surfaces = surfaces.count()
+    compact = surfaces.coalesce(8) if n_surfaces < driver_cc_threshold else surfaces
+    pairs = candidate_pairs(compact)
     edges = score_pairs(pairs, threshold)
-    # self-loops keep singleton surfaces in the component table
+
+    if n_surfaces < driver_cc_threshold:
+        from .operators.components import connected_components_local
+
+        comp_map = connected_components_local(
+            [(r["ka"], r["kb"]) for r in edges.select("ka", "kb").collect()]
+        )
+        spark = mentions.sparkSession
+        rows = [(r["nkey"], comp_map.get(r["nkey"], r["nkey"])) for r in surfaces.collect()]
+        surfaces.unpersist()
+        return spark.createDataFrame(rows, "nkey string, canonical_id string")
+
     loops = surfaces.select(F.col("nkey").alias("ka"), F.col("nkey").alias("kb"), F.lit(1.0).alias("sim"))
     comp = connected_components(edges.unionByName(loops), src="ka", dst="kb", max_iter=max_iter)
+    surfaces.unpersist()
     return comp.select(F.col("node").alias("nkey"), F.col("comp").alias("canonical_id"))
 
 

@@ -19,6 +19,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components_local(edge_list: list[tuple]) -> dict:
+    """Union-find over a collected edge list; component = min member.
+
+    Used as the fast path when the node domain is small (e.g. distinct
+    mention surfaces after blocking): a driver-side union-find beats ~15
+    tiny Spark stages of iterative joins by two orders of magnitude.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -90,3 +90,20 @@ def test_canonicalize_variants(spark, transcripts):
         .count()
     )
     assert n_canon == truth
+
+
+def test_prefix_filter_candidates_superset(spark, transcripts):
+    """Prefix filtering must retain every pair the scorer would accept:
+    cluster assignments must match the coarse-block path on this corpus."""
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.extract import extract_mentions_expr, normalize_surface
+    from biocypher_spark.linking import candidate_pairs_prefix, score_pairs
+
+    mentions = extract_mentions_expr(transcripts)
+    surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
+    pairs = candidate_pairs_prefix(surfaces, threshold=0.35)
+    accepted = score_pairs(pairs, 0.35)
+    got = {(r["ka"], r["kb"]) for r in accepted.collect()}
+    # all three variants of each entity must be pairwise reachable
+    assert ("prot7", "protein7") in got
