@@ -88,7 +88,12 @@ def extract_mentions(
                 {"turn_idx": "int32"}
             )
 
-    src = salt_partitions(transcripts, None) if balance else transcripts
+    # project before the Python stage: only (conv_id, turn_idx, text) cross
+    # the Arrow boundary — role/tool/ts would roughly double IPC volume,
+    # which is the scaling bottleneck on syscall-expensive hosts
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    if balance:
+        src = salt_partitions(src, None)
     return src.mapInPandas(run, MENTION_SCHEMA)
 
 

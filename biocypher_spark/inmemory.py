@@ -12,7 +12,6 @@ with one typed ``from_json`` per type — no per-row Python.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional
 
@@ -23,7 +22,6 @@ from .dedup import dedup_edges, dedup_nodes, dedup_rel_as_nodes
 from .model import SEQ
 from .translate import TranslatedEdges
 from .writer.base import infer_prop_types
-from .writer.neo4j import Neo4jBatchWriter  # for pascal naming only
 
 
 def _typed_props(df: DataFrame, prop_types: dict) -> DataFrame:

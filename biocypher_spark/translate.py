@@ -11,14 +11,14 @@ whole-stage codegen and Catalyst can push filters into the scan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .model import EDGE_SCHEMA, NODE_SCHEMA, SEQ, json_decode_str, json_pystr
+from .model import SEQ, json_decode_str, json_pystr
 from .naming import sentence_to_pascal, to_list
 from .ontology import NullOntology
 

@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import SEQ, json_decode_str, json_pystr, scrub_newlines
+from ..model import SEQ, json_pystr, scrub_newlines
 from ..naming import parse_label, sentence_to_pascal
 
 LONG_TYPES = {"int", "integer", "long"}

@@ -19,7 +19,6 @@ _deduplicate.py:20-29) which cannot exist at 10^12 scale.
 
 from __future__ import annotations
 
-import json
 import os
 from collections import OrderedDict
 from typing import Optional

@@ -12,26 +12,8 @@ from __future__ import annotations
 
 import os
 
-from .neo4j import Neo4jBatchWriter, _RAN_EDGE_LABELS
-from .base import (
-    BOOL_ARRAY,
-    BOOL_TYPES,
-    DOUBLE_ARRAY,
-    DOUBLE_TYPES,
-    LONG_ARRAY,
-    LONG_TYPES,
-    STR_ARRAY,
-    pascal_file_label,
-)
-
-_PG_TYPES = [
-    (LONG_TYPES, "INTEGER"),
-    ({"long"}, "BIGINT"),
-    (DOUBLE_TYPES, "NUMERIC"),
-    (BOOL_TYPES, "BOOLEAN"),
-    (STR_ARRAY, "VARCHAR[]"),
-]
-
+from .neo4j import Neo4jBatchWriter
+from .base import BOOL_TYPES, DOUBLE_TYPES, LONG_TYPES, STR_ARRAY, pascal_file_label
 
 def _pg_type(declared) -> str:
     """DATA_TYPE_LOOKUP semantics (reference _postgresql.py:27-37):
