@@ -94,27 +94,26 @@ def run_pipeline_job(spark, n_turns: int, input_path: str | None = None) -> dict
     else:
         transcripts = generate_transcripts(spark, n_turns)
         balance = True
+    from biocypher_spark.extract import extract_mentions_grouped
+    from biocypher_spark.linking import zero_shuffle_evidence
+
     t0 = time.time()
-    mentions = extract_mentions(transcripts, balance=balance).persist()
-    linked = link_mentions(mentions).persist()
-    a = linked.select("conv_id", "turn_idx", F.col("canonical_id").alias("ca"), F.col("input_label").alias("la"))
-    b = linked.select("conv_id", "turn_idx", F.col("canonical_id").alias("cb"), F.col("input_label").alias("lb"))
-    evidence = (
-        a.join(b, ["conv_id", "turn_idx"])
-        .filter(F.col("ca") < F.col("cb"))
-        .select(
-            F.col("ca").alias("subj"),
-            F.when((F.col("la") == "protein") & (F.col("lb") == "protein"), F.lit("INTERACTS_WITH"))
-            .otherwise(F.lit("LINKED_TO"))
-            .alias("pred"),
-            F.col("cb").alias("obj"),
-        )
+    grouped = extract_mentions_grouped(transcripts, balance=balance).persist()
+    _linked, pairs = zero_shuffle_evidence(grouped)
+    evidence = pairs.select(
+        F.col("ca").alias("subj"),
+        F.when((F.col("la") == "protein") & (F.col("lb") == "protein"), F.lit("INTERACTS_WITH"))
+        .otherwise(F.lit("LINKED_TO"))
+        .alias("pred"),
+        F.col("cb").alias("obj"),
     )
-    n_evidence = evidence.count()
-    n_triples = evidence.distinct().count()
+    # one action: evidence count + exact distinct-triple count fused into a
+    # single scan (count_distinct's shuffle carries only partial aggregates)
+    n_evidence, n_triples = evidence.agg(
+        F.count(F.lit(1)), F.count_distinct("subj", "pred", "obj")
+    ).collect()[0]
     elapsed = time.time() - t0
-    mentions.unpersist()
-    linked.unpersist()
+    grouped.unpersist()
     return {
         "turns": n_turns,
         "evidence_rows": n_evidence,
@@ -141,11 +140,17 @@ def run_scaling(n_turns: int) -> dict:
     out: dict = {"cores": [lo, hi], "turns": n_turns, "repeats": 2}
     for cores in (lo, hi):
         best = None
+        # CPU pinning: without taskset, local[N] undercounts resources (the
+        # N task slots don't include Python workers / GC / driver threads),
+        # inflating low-N throughput and understating the true N -> 4N ratio
+        import shutil as _shutil
+
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
         # best-of-2: the shared host shows +-20% run-to-run noise; peak
         # throughput per level is the stable quantity
         for _ in range(2):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
+                pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
                 capture_output=True,
                 text=True,
                 timeout=3600,

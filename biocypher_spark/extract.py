@@ -97,6 +97,78 @@ def extract_mentions(
     return src.mapInPandas(run, MENTION_SCHEMA)
 
 
+GROUPED_MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField(
+            "ms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("input_label", T.StringType()),
+                        T.StructField("surface", T.StringType()),
+                        T.StructField("m_pos", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def extract_mentions_grouped(
+    transcripts: DataFrame,
+    patterns: Optional[dict[str, str]] = None,
+    balance: bool = False,
+) -> DataFrame:
+    """Per-turn grouped extraction: one output row per turn carrying the
+    mention array.
+
+    This shape keeps downstream co-occurrence pair generation **turn-local**
+    — pairs expand from the array with JVM expressions, so the hot path has
+    zero shuffles (mentions = explode; pairs = array expansion; entity ids =
+    broadcast joins). At 10^12 turns that removes the only O(corpus)
+    shuffle of the evidence DAG.
+    """
+    patterns = patterns or DEFAULT_PATTERNS
+    labels = list(patterns)
+    combined = re.compile("|".join(f"(?P<g{j}>{p})" for j, p in enumerate(patterns.values())))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits = pdf["text"].str.extractall(combined)
+            out_ms: list = [[] for _ in range(len(pdf))]
+            if not hits.empty:
+                hits = hits.reset_index()
+                melted = hits.melt(
+                    id_vars=["level_0", "match"], var_name="_g", value_name="surface"
+                ).dropna(subset=["surface"])
+                melted["_label"] = (
+                    melted["_g"].str.removeprefix("g").astype(int).map(dict(enumerate(labels)))
+                )
+                melted = melted.sort_values("match", kind="stable")
+                melted["_pos"] = melted.groupby(["level_0", "_g"]).cumcount()
+                for row, label, surface, pos in zip(
+                    melted["level_0"], melted["_label"], melted["surface"], melted["_pos"]
+                ):
+                    out_ms[row].append((label, surface, int(pos)))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    "ms": out_ms,
+                }
+            )
+
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    if balance:
+        src = salt_partitions(src, None)
+    return src.mapInPandas(run, GROUPED_MENTION_SCHEMA)
+
+
 def extract_mentions_expr(
     transcripts: DataFrame,
     patterns: Optional[dict[str, str]] = None,

@@ -142,10 +142,112 @@ def canonicalize(
     return comp.select(F.col("node").alias("nkey"), F.col("comp").alias("canonical_id"))
 
 
-def link_mentions(mentions: DataFrame, threshold: float = 0.35) -> DataFrame:
+def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
+    """Within-turn entity pairs from linked mentions — without a self-join.
+
+    A self-join on (conv_id, turn_idx) shuffles the mention table twice; a
+    single groupBy + per-turn pair expansion shuffles it once and the pair
+    expansion stays JVM-side (entities per turn are few). Output columns:
+    (conv_id, turn_idx, ca, la, cb, lb) with ca < cb.
+    """
+    ents = F.array_distinct(
+        F.collect_list(F.struct(F.col("canonical_id").alias("c"), F.col("input_label").alias("l")))
+    )
+    per_turn = linked.groupBy("conv_id", "turn_idx").agg(ents.alias("ents"))
+    # index-aware transform: pair each element with every later element
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    exploded = per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("p")).filter(
+        F.col("p.a.c") != F.col("p.b.c")
+    )
+    a_first = F.col("p.a.c") < F.col("p.b.c")
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.when(a_first, F.col("p.a.c")).otherwise(F.col("p.b.c")).alias("ca"),
+        F.when(a_first, F.col("p.a.l")).otherwise(F.col("p.b.l")).alias("la"),
+        F.when(a_first, F.col("p.b.c")).otherwise(F.col("p.a.c")).alias("cb"),
+        F.when(a_first, F.col("p.b.l")).otherwise(F.col("p.a.l")).alias("lb"),
+    )
+
+
+def link_mentions(mentions: DataFrame, threshold: float = 0.35, mapping: DataFrame | None = None) -> DataFrame:
     """Attach canonical ids to every mention row (broadcast join)."""
-    mapping = canonicalize(mentions, threshold)
+    if mapping is None:
+        mapping = canonicalize(mentions, threshold)
     withkey = mentions.withColumn("nkey", normalize_surface(F.col("surface")))
     return withkey.join(F.broadcast(mapping), "nkey", "left").withColumn(
         "canonical_id", F.coalesce(F.col("canonical_id"), F.col("nkey"))
     )
+
+
+def zero_shuffle_evidence(grouped: DataFrame, threshold: float = 0.35) -> tuple:
+    """Evidence pairs from per-turn grouped mentions with NO corpus shuffle.
+
+    ``grouped`` is ``extract_mentions_grouped`` output. The DAG:
+      * mentions view = ``explode(ms)`` (narrow);
+      * canonical map = blocking + scoring + components over the *distinct
+        surface* domain (tiny shuffles only);
+      * per-turn pairs = JVM array expansion of ``ms`` (narrow);
+      * canonical ids attached to both pair sides via broadcast joins.
+
+    Returns (linked_mentions, evidence) where evidence has columns
+    (conv_id, turn_idx, ca, la, cb, lb), ca < cb by canonical id.
+    """
+    mentions = grouped.select("conv_id", "turn_idx", F.explode("ms").alias("m")).select(
+        "conv_id", "turn_idx", F.col("m.input_label").alias("input_label"), F.col("m.surface").alias("surface")
+    )
+    mapping = canonicalize(mentions, threshold)
+
+    ents = F.array_distinct(
+        F.transform(
+            F.col("ms"),
+            lambda m: F.struct(
+                normalize_surface(m["surface"]).alias("k"), m["input_label"].alias("l")
+            ),
+        )
+    )
+    per_turn = grouped.select("conv_id", "turn_idx", ents.alias("ents"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    exploded = per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("p"))
+    map_a = mapping.select(F.col("nkey").alias("_ka"), F.col("canonical_id").alias("ca_id"))
+    map_b = mapping.select(F.col("nkey").alias("_kb"), F.col("canonical_id").alias("cb_id"))
+    resolved = (
+        exploded.join(F.broadcast(map_a), F.col("p.a.k") == F.col("_ka"), "left")
+        .join(F.broadcast(map_b), F.col("p.b.k") == F.col("_kb"), "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce(F.col("ca_id"), F.col("p.a.k")).alias("_ca"),
+            F.col("p.a.l").alias("_la"),
+            F.coalesce(F.col("cb_id"), F.col("p.b.k")).alias("_cb"),
+            F.col("p.b.l").alias("_lb"),
+        )
+        .filter(F.col("_ca") != F.col("_cb"))
+    )
+    a_first = F.col("_ca") < F.col("_cb")
+    evidence = resolved.select(
+        "conv_id",
+        "turn_idx",
+        F.when(a_first, F.col("_ca")).otherwise(F.col("_cb")).alias("ca"),
+        F.when(a_first, F.col("_la")).otherwise(F.col("_lb")).alias("la"),
+        F.when(a_first, F.col("_cb")).otherwise(F.col("_ca")).alias("cb"),
+        F.when(a_first, F.col("_lb")).otherwise(F.col("_la")).alias("lb"),
+    )
+    linked = link_mentions(mentions, threshold, mapping=mapping)
+    return linked, evidence

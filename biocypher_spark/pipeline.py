@@ -168,23 +168,24 @@ class KGPipeline:
             )
         )
 
-        proteins = linked.filter(F.col("input_label") == "protein").select(
-            "conv_id", "turn_idx", F.col("canonical_id").alias("pid")
-        )
-        diseases = linked.filter(F.col("input_label") == "disease").select(
-            "conv_id", "turn_idx", F.col("canonical_id").alias("did")
-        )
+        from .linking import cooccurrence_pairs
+
+        pairs = cooccurrence_pairs(linked)
         pp = (
-            proteins.alias("a")
-            .join(proteins.alias("b"), ["conv_id", "turn_idx"])
-            .filter(F.col("a.pid") < F.col("b.pid"))
-            .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("tgt"))
+            pairs.filter((F.col("la") == "protein") & (F.col("lb") == "protein"))
+            .groupBy(F.col("ca").alias("src"), F.col("cb").alias("tgt"))
             .agg(F.count(F.lit(1)).alias("turns"))
             .withColumn("input_label", F.lit("protein_protein"))
         )
+        # orient protein -> disease regardless of canonical-id ordering
+        pd_pairs = pairs.filter(F.col("la") != F.col("lb"))
+        protein_first = F.col("la") == "protein"
         pd_ = (
-            proteins.join(diseases, ["conv_id", "turn_idx"])
-            .groupBy(F.col("pid").alias("src"), F.col("did").alias("tgt"))
+            pd_pairs.select(
+                F.when(protein_first, F.col("ca")).otherwise(F.col("cb")).alias("src"),
+                F.when(protein_first, F.col("cb")).otherwise(F.col("ca")).alias("tgt"),
+            )
+            .groupBy("src", "tgt")
             .agg(F.count(F.lit(1)).alias("turns"))
             .withColumn("input_label", F.lit("protein_disease"))
         )

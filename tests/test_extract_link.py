@@ -107,3 +107,30 @@ def test_prefix_filter_candidates_superset(spark, transcripts):
     got = {(r["ka"], r["kb"]) for r in accepted.collect()}
     # all three variants of each entity must be pairwise reachable
     assert ("prot7", "protein7") in got
+
+
+def test_zero_shuffle_evidence_equivalence(spark, transcripts):
+    """The zero-shuffle evidence DAG must yield the same distinct triple set
+    as the join-based co-occurrence path."""
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.extract import extract_mentions, extract_mentions_grouped
+    from biocypher_spark.linking import cooccurrence_pairs, link_mentions, zero_shuffle_evidence
+
+    linked = link_mentions(extract_mentions(transcripts))
+    want = cooccurrence_pairs(linked).select("ca", "la", "cb", "lb").distinct()
+
+    grouped = extract_mentions_grouped(transcripts)
+    _l2, pairs = zero_shuffle_evidence(grouped)
+    got = pairs.select("ca", "la", "cb", "lb").distinct()
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # grouped explode == flat extraction
+    flat = grouped.select("conv_id", "turn_idx", F.explode("ms").alias("m")).select(
+        "conv_id", "turn_idx", "m.input_label", "m.surface", "m.m_pos"
+    )
+    base = extract_mentions(transcripts).select("conv_id", "turn_idx", "input_label", "surface", "m_pos")
+    assert flat.exceptAll(base).count() == 0
+    assert base.exceptAll(flat).count() == 0
