@@ -3,8 +3,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, _TESTS)
+# python workers spawned by Spark must resolve test/fixture modules that
+# cloudpickle references by name
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [p for p in (_REPO, _TESTS, os.environ.get("PYTHONPATH")) if p]
+)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
