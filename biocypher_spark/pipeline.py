@@ -230,9 +230,14 @@ class KGPipeline:
             strict_mode=False,
             validate_props=False,
         )
-        writer.write_nodes(tn.nodes)
-        writer.write_edges(te)
-        writer.write_import_call()
+        # a resumed run whose node/edge stages are already checkpointed must
+        # not re-emit part files: part numbering continues across runs, so a
+        # second emission would append duplicate {Label}-partNNN.csv files
+        already_written = resume and self._is_done("nodes") and self._is_done("edges")
+        if not already_written:
+            writer.write_nodes(tn.nodes)
+            writer.write_edges(te)
+            writer.write_import_call()
 
         nodes = self._checkpoint("nodes", tn.nodes, resume)
         edges = self._checkpoint(
