@@ -68,3 +68,15 @@ def test_resume_skips_stages(spark, tmp_path):
     r2 = pipe2.run(empty, resume=True)
     assert r2.counts["mentions"] == r1.counts["mentions"]
     assert r2.counts["nodes"] == r1.counts["nodes"]
+
+
+def test_resume_does_not_duplicate_part_files(spark, tmp_path):
+    import os as _os
+
+    outdir = str(tmp_path / "kg3")
+    transcripts = generate_transcripts(spark, 400)
+    KGPipeline(spark, outdir).run(transcripts)
+    first = sorted(f for f in _os.listdir(outdir) if "-part" in f)
+    KGPipeline(spark, outdir).run(transcripts.limit(0), resume=True)
+    second = sorted(f for f in _os.listdir(outdir) if "-part" in f)
+    assert first == second
