@@ -65,3 +65,19 @@ def test_dedup_single_shuffle(spark, schema_path):
     kept = dedup_nodes(nodes).kept
     # translate (broadcast) + window dedup => exactly one exchange
     assert count_shuffles(kept) == 1
+
+
+def test_zero_shuffle_evidence_plan(spark):
+    """The evidence DAG's corpus-sized path must contain no shuffle
+    exchange: extraction -> array pair expansion -> broadcast map-back."""
+    from biocypher_spark.extract import extract_mentions_grouped
+    from biocypher_spark.linking import zero_shuffle_evidence
+    from biocypher_spark.transcripts import generate_transcripts
+
+    grouped = extract_mentions_grouped(generate_transcripts(spark, 500)).persist()
+    try:
+        _linked, evidence = zero_shuffle_evidence(grouped)
+        assert count_shuffles(evidence) == 0
+        assert uses_broadcast_join(evidence)
+    finally:
+        grouped.unpersist()
