@@ -229,6 +229,11 @@ class KGPipeline:
             self.outdir,
             strict_mode=False,
             validate_props=False,
+            # scale path: content-identical part files without the per-label
+            # global-rank shuffle; inputs are unique by construction so the
+            # cross-call seen-id bookkeeping is skipped too
+            ordered_parts=False,
+            track_seen=False,
         )
         # a resumed run whose node/edge stages are already checkpointed must
         # not re-emit part files: part numbering continues across runs, so a

@@ -195,6 +195,7 @@ def write_part_files(
     lines_df: DataFrame,
     outdir: str,
     batch_size: int,
+    ordered: bool = True,
 ) -> dict[str, list[str]]:
     """Write line strings into ``{Label}-partNNN.csv`` files.
 
@@ -207,15 +208,24 @@ def write_part_files(
     """
     tmp = os.path.join(outdir, "_tmp_parts")
     shutil.rmtree(tmp, ignore_errors=True)
-    # exact reference batching: per-label rank -> file index every
-    # batch_size rows; range partitioning keeps (label, file) groups whole
-    # and in global order so the driver-side rename preserves arrival order
-    w = Window.partitionBy("_plabel").orderBy(SEQ)
-    df = lines_df.withColumn("_file", F.floor((F.row_number().over(w) - 1) / F.lit(int(batch_size))))
+    if ordered:
+        # exact reference batching: per-label rank -> file index every
+        # batch_size rows; range partitioning keeps (label, file) groups
+        # whole and in global order so the driver-side rename preserves
+        # arrival order. NOTE: the per-label rank funnels each label
+        # through one task — reference-golden fidelity, not the scale path.
+        w = Window.partitionBy("_plabel").orderBy(SEQ)
+        df = lines_df.withColumn("_file", F.floor((F.row_number().over(w) - 1) / F.lit(int(batch_size))))
+        df = df.repartitionByRange(F.col("_plabel"), F.col("_file")).sortWithinPartitions(
+            "_plabel", "_file", SEQ
+        )
+    else:
+        # scale path: no global per-label order (neo4j-admin import does not
+        # require one); write from the existing partitioning — zero shuffle,
+        # maxRecordsPerFile still bounds rows per part
+        df = lines_df
     (
-        df.repartitionByRange(F.col("_plabel"), F.col("_file"))
-        .sortWithinPartitions("_plabel", "_file", SEQ)
-        .select("line", "_plabel")
+        df.select("line", "_plabel")
         .write.option("maxRecordsPerFile", int(batch_size))
         .partitionBy("_plabel")
         .mode("overwrite")

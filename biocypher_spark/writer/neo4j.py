@@ -103,6 +103,8 @@ class Neo4jBatchWriter:
         edge_labels_order: Optional[str] = None,
         batch_size: int = int(1e6),
         validate_props: bool = True,
+        ordered_parts: bool = True,
+        track_seen: bool = True,
     ):
         self.spark = spark
         self.translator = translator
@@ -124,6 +126,14 @@ class Neo4jBatchWriter:
             raise ValueError(f"Invalid labels_order: {self.node_labels_order}")
         self.batch_size = int(batch_size)
         self.validate_props = validate_props
+        # ordered_parts=True reproduces the reference's arrival-order part
+        # files (needs a per-label global rank — golden-parity mode);
+        # False is the scale path: content-identical lines, arbitrary
+        # file assignment, zero extra shuffle.
+        self.ordered_parts = ordered_parts
+        # track_seen=False skips the cross-call seen-id bookkeeping for
+        # single-shot pipelines whose inputs are already unique
+        self.track_seen = track_seen
 
         self.node_property_dict: "OrderedDict[str, dict]" = OrderedDict()
         self.edge_property_dict: "OrderedDict[str, dict]" = OrderedDict()
@@ -192,16 +202,16 @@ class Neo4jBatchWriter:
         return d
 
     def _first_rows_per_label(self, df: DataFrame, label_col: str) -> dict[str, dict]:
-        w = Window.partitionBy(label_col).orderBy(SEQ)
-        rows = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            # collect keys/values as arrays: Python dict conversion of a
-            # collected map column does not preserve the JVM map order
-            .select(label_col, F.map_keys("props").alias("_k"), F.map_values("props").alias("_v"))
-            .collect()
+        # min_by aggregation: map-side partial combine, no single-partition
+        # per-label window. Keys/values collected as arrays because the
+        # Python dict conversion of a collected map column does not
+        # preserve the JVM map order.
+        first = F.min_by(
+            F.struct(F.map_keys("props").alias("_k"), F.map_values("props").alias("_v")),
+            F.col(SEQ),
         )
-        return {r[label_col]: dict(zip(r["_k"] or [], r["_v"] or [])) for r in rows}
+        rows = df.groupBy(label_col).agg(first.alias("_f")).collect()
+        return {r[label_col]: dict(zip(r["_f"]["_k"] or [], r["_f"]["_v"] or [])) for r in rows}
 
     def _validate_consistent_props(self, df: DataFrame, label_col: str, prop_dicts: dict) -> None:
         """Reference hard-errors when entities of one label diverge in
@@ -245,6 +255,8 @@ class Neo4jBatchWriter:
         prev = getattr(self, attr)
         setattr(self, attr, dups if prev is None else prev.unionByName(dups).distinct())
         batch_first = ranked.filter(F.col("_rn") == 1).drop("_rn")
+        if not self.track_seen:
+            return batch_first
         seen = getattr(self, seen_attr)
         if seen is not None:
             cross_dups = (
@@ -303,7 +315,7 @@ class Neo4jBatchWriter:
                 plabel = F.when(F.col("node_label") == label, e).otherwise(plabel)
 
         lines_df = nodes.select(plabel.alias("_plabel"), line.alias("line"), F.col(SEQ))
-        written = write_part_files(lines_df, self.outdir, self.batch_size)
+        written = write_part_files(lines_df, self.outdir, self.batch_size, ordered=self.ordered_parts)
         for plab, names in written.items():
             self.parts.setdefault(plab, []).extend(names)
         nodes.unpersist()
@@ -423,7 +435,7 @@ class Neo4jBatchWriter:
                 plabel = F.when(F.col("relationship_label") == label, e).otherwise(plabel)
 
         lines_df = all_edges.select(plabel.alias("_plabel"), line.alias("line"), F.col(SEQ))
-        written = write_part_files(lines_df, self.outdir, self.batch_size)
+        written = write_part_files(lines_df, self.outdir, self.batch_size, ordered=self.ordered_parts)
         for plab, names in written.items():
             self.parts.setdefault(plab, []).extend(names)
         all_edges.unpersist()
