@@ -552,7 +552,13 @@ def doc_fingerprint(spark, sf_dir):
 # Similarity search over embeddings (similarity.py)
 # ---------------------------------------------------------------------------
 
-from .similarity import cosine_topk, embedding_near_dup, hyperplane_signs, lsh_buckets  # noqa: E402
+from .similarity import (  # noqa: E402
+    cosine_topk,
+    embedding_near_dup,
+    hyperplane_signs,
+    hyperplane_signs_md5,
+    lsh_buckets,
+)
 
 _DIMS = 64
 
@@ -597,9 +603,60 @@ def emb_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_t(spark, sf_dir, "embeddings"), num_planes=2, dims=_DIMS)
 
 
-@register("emb_near_dup")  # rows-only: LSH-blocked pair generation
+_ND_TABLES = 4
+_ND_PLANES = 4
+_ND_CAP = 1000
+_ND_THRESHOLD = 0.4
+
+
+def _proj_sql(signs: list[int], col: str) -> str:
+    return " + ".join(
+        f"{'' if s > 0 else '-'}{col}[{i + 1}]::DOUBLE" for i, s in enumerate(signs)
+    ).replace("+ -", "- ")
+
+
+def _near_dup_oracle() -> str:
+    """Banded multi-table LSH near-dup, recomputed end-to-end in SQL: per-table
+    bucket from the same md5-derived hyperplanes, bucket-size cap, candidate
+    union across tables, exact 64-term cosine re-score."""
+    bucket_cols = []
+    for t in range(_ND_TABLES):
+        parts = []
+        for p, signs in enumerate(hyperplane_signs_md5(t, _ND_PLANES, _DIMS)):
+            parts.append(f"CASE WHEN ({_proj_sql(signs, 'embedding')}) >= 0 THEN {1 << p} ELSE 0 END")
+        bucket_cols.append(" + ".join(parts) + f" AS bucket{t}")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM b" for t in range(_ND_TABLES)
+    )
+    dot = _dot_sql("ea.embedding", "eb.embedding")
+    na = _dot_sql("ea.embedding", "ea.embedding")
+    nb = _dot_sql("eb.embedding", "eb.embedding")
+    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {', '.join(bucket_cols)} FROM embeddings),
+    u AS ({unions}),
+    ok AS (SELECT tbl, bucket FROM u GROUP BY tbl, bucket HAVING count(*) <= {_ND_CAP}),
+    c AS (SELECT u.vec_id, u.tbl, u.bucket FROM u JOIN ok USING (tbl, bucket)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM c x JOIN c y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT va, vb, {cos} AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = cand.va
+              JOIN embeddings eb ON eb.vec_id = cand.vb
+    WHERE {cos} >= {_ND_THRESHOLD}
+    """
+
+
+@register("emb_near_dup", _near_dup_oracle())
 def emb_near_dup(spark, sf_dir):
-    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_ND_THRESHOLD,
+        num_tables=_ND_TABLES,
+        planes_per_table=_ND_PLANES,
+        max_bucket_size=_ND_CAP,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -691,7 +748,7 @@ def events_windowed(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions FROM gaps GROUP BY user_id
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM gaps GROUP BY user_id
     """,
 )
 def events_sessionize(spark, sf_dir):

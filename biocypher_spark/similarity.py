@@ -56,6 +56,24 @@ def hyperplane_signs(num_planes: int, dims: int) -> list[list[int]]:
     return [[1 if (i * (2 * p + 3)) % 7 < 4 else -1 for i in range(dims)] for p in range(num_planes)]
 
 
+def hyperplane_signs_md5(table: int, num_planes: int, dims: int) -> list[list[int]]:
+    """Independent deterministic ±1 hyperplanes for multi-table LSH.
+
+    The arithmetic pattern above has period 7 in the plane index, so it can
+    only produce 7 distinct planes — useless for banded multi-table LSH.
+    This family draws each sign from md5(f"{table}_{plane}_{dim}") computed
+    driver-side (hashlib == Spark md5 == DuckDB md5), then inlines the signs
+    as literals, so both engines see identical constants.
+    """
+    import hashlib
+
+    def sign(t: int, p: int, i: int) -> int:
+        h = hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) < 8 else -1
+
+    return [[sign(table, p, i) for i in range(dims)] for p in range(num_planes)]
+
+
 def lsh_buckets(embeddings: DataFrame, num_planes: int = 2, dims: int = 64, vec_col: str = "embedding") -> DataFrame:
     """Sign-LSH bucket per vector: bit p = (v . h_p >= 0)."""
     bucket = F.lit(0)
@@ -66,6 +84,16 @@ def lsh_buckets(embeddings: DataFrame, num_planes: int = 2, dims: int = 64, vec_
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
+def _bucket_expr(signs_list: list[list[int]], vec_col: str) -> Column:
+    """Integer bucket id from sign bits of the given hyperplane projections."""
+    bucket = F.lit(0)
+    for p, signs in enumerate(signs_list):
+        signs_arr = F.array(*[F.lit(float(s)) for s in signs])
+        proj = _dot(F.col(vec_col), signs_arr)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -74,9 +102,14 @@ def lsh_topk(
     dims: int = 64,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: restrict exact cosine scoring to the query's LSH bucket."""
-    buckets = lsh_buckets(embeddings, num_planes, dims, vec_col)
-    with_bucket = embeddings.join(buckets, "vec_id")
+    """ANN: restrict exact cosine scoring to the query's LSH bucket.
+
+    The bucket is a column expression over the embedding itself, so no
+    self-join is needed to attach it — one scan, one broadcast of the
+    single-row query side.
+    """
+    bucket = _bucket_expr(hyperplane_signs(num_planes, dims), vec_col)
+    with_bucket = embeddings.select("vec_id", vec_col, bucket.alias("bucket"))
     qb = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("_qb"), F.col(vec_col).alias("_q")
     )
@@ -92,12 +125,61 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95, num_planes: int = 4, dims: int = 64) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked then exact."""
-    buckets = lsh_buckets(embeddings, num_planes, dims)
-    wb = embeddings.join(buckets, "vec_id")
-    a = wb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket")
-    b = wb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("va") < F.col("vb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return pairs.select("va", "vb", F.round(cos, 6).alias("cos")).filter(F.col("cos") >= threshold)
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    max_bucket_size: int = 1000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded multi-table LSH.
+
+    Scale design (vs the naive single-table variant): ``num_tables``
+    independent sign-LSH tables of ``planes_per_table`` planes each. A pair
+    is a candidate when it collides in ANY table (OR across tables — high
+    recall), and each table has 2^planes buckets (small buckets — bounded
+    within-bucket join). Buckets larger than ``max_bucket_size`` are dropped
+    deterministically (they are degenerate regions where LSH gives no
+    selectivity); the bucket-size histogram is tiny (tables × 2^planes rows)
+    and broadcast. Candidates are deduped across tables, then exactly
+    re-scored with the full cosine, so precision is exact.
+
+    Expected candidate volume per table ≈ N²/2^planes; with the cap it is
+    ≤ N·max_bucket_size — linear in N, never quadratic.
+    """
+    tbl_frames = []
+    for t in range(num_tables):
+        bucket = _bucket_expr(hyperplane_signs_md5(t, planes_per_table, dims), vec_col)
+        tbl_frames.append(
+            embeddings.select(F.col("vec_id"), F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    assigned = tbl_frames[0]
+    for fr in tbl_frames[1:]:
+        assigned = assigned.unionByName(fr)
+    # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
+    ok_buckets = (
+        assigned.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    capped = assigned.join(F.broadcast(ok_buckets), ["tbl", "bucket"])
+    a = capped.select("tbl", "bucket", F.col("vec_id").alias("va"))
+    b = capped.select("tbl", "bucket", F.col("vec_id").alias("vb"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"))
+    cos = F.round(cosine(F.col("_ea"), F.col("_eb")), 6)
+    return (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .select("va", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

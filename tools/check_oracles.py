@@ -27,6 +27,39 @@ def norm(v):
     return str(v)
 
 
+def dtype_class(t) -> str:
+    """Canonical class of an Arrow type so the local gate is dtype-sensitive
+    like the driver's typed-value hash (VERDICT r01: DuckDB HUGEINT ->
+    decimal128 vs Spark bigint tripped the driver while str-normalized values
+    matched). Plain int widths / float widths / string flavors are collapsed;
+    decimal stays distinct from int, which is the observed failure mode."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{dtype_class(t.value_type)}>"
+    return str(t)
+
+
+def arrow_dtypes(tbl) -> dict:
+    return {f.name: dtype_class(f.type) for f in tbl.schema}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -58,6 +91,7 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            stypes = arrow_dtypes(sdf.limit(0).toArrow())
         except Exception as exc:
             print(f"FAIL  {name}: spark error {exc}")
             failures += 1
@@ -66,15 +100,21 @@ def main():
             print(f"OK?   {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = dtbl.column_names
+            dtypes = arrow_dtypes(dtbl)
+            drows = [tuple(col[i].as_py() for col in dtbl.columns) for i in range(dtbl.num_rows)]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error {str(exc).splitlines()[0]}")
             failures += 1
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+            failures += 1
+            continue
+        badtypes = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+        if badtypes:
+            print(f"FAIL  {name}: dtype mismatch (spark, duck) {badtypes}")
             failures += 1
             continue
         sset = sorted(tuple(norm(r[c]) for c in sorted(scols)) for r in srows)
