@@ -40,16 +40,24 @@ def _bigrams(col) -> F.Column:
     )
 
 
+def _cheap_block(key_col: str) -> F.Column:
+    """Coarse block key: first alpha char + trailing digit run."""
+    return F.concat(
+        F.substring(F.regexp_extract(key_col, "^([a-z]+)", 1), 1, 1),
+        F.regexp_extract(key_col, "([0-9]+)$", 1),
+    )
+
+
 def candidate_pairs(surfaces: DataFrame, key_col: str = "nkey") -> DataFrame:
     """Blocked self-join: pairs of distinct normalized surfaces that share a
-    coarse block key (first alpha run + trailing digit run)."""
-    blocked = surfaces.withColumn(
-        "_block",
-        F.concat(
-            F.substring(F.regexp_extract(key_col, "^([a-z]+)", 1), 1, 1),
-            F.regexp_extract(key_col, "([0-9]+)$", 1),
-        ),
-    )
+    coarse block key (first alpha run + trailing digit run).
+
+    WARNING — skew: surfaces without a digit suffix collapse into <= 26
+    blocks, making the within-block join quadratic on a real corpus. Use
+    :func:`candidate_pairs_guarded` (the :func:`canonicalize` default), which
+    reroutes oversized blocks through the PPJoin prefix filter.
+    """
+    blocked = surfaces.withColumn("_block", _cheap_block(key_col))
     a = blocked.select(F.col(key_col).alias("ka"), F.col("_block"))
     b = blocked.select(F.col(key_col).alias("kb"), F.col("_block"))
     return (
@@ -58,6 +66,37 @@ def candidate_pairs(surfaces: DataFrame, key_col: str = "nkey") -> DataFrame:
         .select("ka", "kb")
         .distinct()
     )
+
+
+def candidate_pairs_guarded(
+    surfaces: DataFrame,
+    key_col: str = "nkey",
+    threshold: float = 0.35,
+    max_block_size: int = 1024,
+) -> DataFrame:
+    """Skew-safe candidate generation: the cheap block key where blocks stay
+    bounded, the PPJoin prefix filter for members of oversized blocks.
+
+    The cheap key is one narrow expression + one short-string hash join, so
+    it stays the fast path; any block larger than ``max_block_size`` (e.g.
+    every digitless surface landing in a single-letter block) is instead
+    routed through :func:`candidate_pairs_prefix`, whose candidate volume is
+    bounded by rarest-bigram selectivity instead of block cardinality. Both
+    branches emit (ka, kb); the union is distinct.
+    """
+    blocked = surfaces.withColumn("_block", _cheap_block(key_col)).persist()
+    sizes = blocked.groupBy("_block").agg(F.count(F.lit(1)).alias("_bn"))
+    tagged = blocked.join(sizes, "_block")
+    small = tagged.filter(F.col("_bn") <= max_block_size)
+    big = tagged.filter(F.col("_bn") > max_block_size).select(key_col)
+    a = small.select(F.col(key_col).alias("ka"), "_block")
+    b = small.select(F.col(key_col).alias("kb"), "_block")
+    pairs = a.join(b, "_block").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
+    if big.limit(1).count() > 0:
+        pairs = pairs.unionByName(candidate_pairs_prefix(big, threshold))
+    out = pairs.distinct()
+    blocked.unpersist()
+    return out
 
 
 def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> DataFrame:
@@ -107,6 +146,7 @@ def canonicalize(
     threshold: float = 0.35,
     max_iter: int = 25,
     driver_cc_threshold: int = 200_000,
+    max_block_size: int = 1024,
 ) -> DataFrame:
     """Mentions -> (nkey, canonical_id) mapping table.
 
@@ -116,13 +156,14 @@ def canonicalize(
     and resolved with a driver-side union-find (replacing ~15 near-empty
     Spark stages of iterative joins); above it, the distributed min-label
     propagation takes over. The resulting map is broadcast back in either
-    case.
+    case. Candidate generation is skew-guarded: cheap blocks up to
+    ``max_block_size``, PPJoin prefix filtering beyond.
     """
     surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
     surfaces = surfaces.persist()
     n_surfaces = surfaces.count()
     compact = surfaces.coalesce(8) if n_surfaces < driver_cc_threshold else surfaces
-    pairs = candidate_pairs(compact)
+    pairs = candidate_pairs_guarded(compact, threshold=threshold, max_block_size=max_block_size)
     edges = score_pairs(pairs, threshold)
 
     if n_surfaces < driver_cc_threshold:

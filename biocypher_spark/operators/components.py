@@ -67,6 +67,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = 1
     for _ in range(max_iter):
         # propagate: candidate comp for each node = min over neighbours' comps
         nbr = (
@@ -75,12 +76,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+        )
+        # pointer-jump (label-of-label shortcut): comp <- label(comp). Combined
+        # with the neighbour step this doubles the propagation horizon each
+        # iteration, so convergence is O(log diameter) instead of O(diameter)
+        # — a 25-iteration cap covers diameters up to ~2^25.
+        jump = stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_comp2"))
         new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-            )
+            stepped.join(jump, "comp", "left")
+            .select("node", F.least(F.col("comp"), F.coalesce(F.col("_comp2"), F.col("comp"))).alias("comp"))
             .localCheckpoint()
         )
         changed = (
@@ -93,4 +100,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations; raise max_iter (the propagation horizon doubles per "
+            "iteration, so this indicates a pathological graph)"
+        )
     return labels.select("node", "comp")

@@ -415,10 +415,13 @@ from .textops import (  # noqa: E402
     exact_dedup,
     fingerprint,
     language_id,
+    minhash_banded_pairs,
     minhash_dedup,
     ngram_jaccard_pairs,
     quality_score,
     simhash,
+    simhash64,
+    simhash_near_dup,
     token_count,
 )
 
@@ -439,7 +442,7 @@ def doc_token_count(spark, sf_dir):
 
 @register(
     "doc_exact_dedup",
-    "SELECT min(doc_id) AS rep_id, count(*) AS n FROM documents GROUP BY text",
+    "SELECT min(doc_id) AS rep_id, count(*) AS n FROM documents GROUP BY md5(text)",
 )
 def doc_exact_dedup(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -481,24 +484,127 @@ def doc_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "doc_ngram_jaccard",
-    """
-    WITH b AS (
-      SELECT doc_id, lang, n_chars,
-             list_distinct(list_sort(string_split(text, ' '))) AS toks
-      FROM documents
+def _simhash64_sql(col: str = "text") -> str:
+    """16-nibble hex simhash64 expression (mirrors textops.simhash64)."""
+    nibbles = []
+    for k in range(16):
+        terms = []
+        for j in range(4):
+            pos = k + 1
+            shift = 3 - j
+            vote = (
+                f"(((strpos('0123456789abcdef', substr(md5(x), {pos}, 1)) - 1) >> {shift}) & 1) * 2 - 1"
+            )
+            s = f"list_aggregate(list_transform(string_split({col}, ' '), x -> {vote}), 'sum')"
+            terms.append(f"CASE WHEN {s} >= 0 THEN {1 << j} ELSE 0 END")
+        nibbles.append(f"substr('0123456789abcdef', ({' + '.join(terms)}) + 1, 1)")
+    return " || ".join(nibbles)
+
+
+@register("doc_simhash64", f"SELECT doc_id, {_simhash64_sql()} AS simhash64 FROM documents")
+def doc_simhash64(spark, sf_dir):
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_near_dup_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 16 // bands
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(h, {b * width + 1}, {width}) AS bkey FROM sh"
+        for b in range(bands)
     )
-    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           round(len(list_intersect(a.toks, c.toks))::DOUBLE
-                 / len(list_distinct(list_concat(a.toks, c.toks))), 6) AS jac
-    FROM b a JOIN b c ON a.lang = c.lang AND a.n_chars = c.n_chars AND a.doc_id < c.doc_id
-    WHERE round(len(list_intersect(a.toks, c.toks))::DOUBLE
-                / len(list_distinct(list_concat(a.toks, c.toks))), 6) >= 0.5
-    """,
+    ham_terms = []
+    for k in range(16):
+        na = f"strpos('0123456789abcdef', substr(a.h, {k + 1}, 1)) - 1"
+        nb = f"strpos('0123456789abcdef', substr(b.h, {k + 1}, 1)) - 1"
+        ham_terms.append(f"CAST(substr('0112122312232334', xor({na}, {nb}) + 1, 1) AS INT)")
+    ham = " + ".join(ham_terms)
+    return f"""
+    WITH sh AS (SELECT doc_id, {_simhash64_sql()} AS h FROM documents),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@register("doc_simhash_near_dup", _simhash_near_dup_oracle())
+def doc_simhash_near_dup(spark, sf_dir):
+    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+
+
+_BANDS = 4
+_ROWS_PER_BAND = 3
+
+
+def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> str:
+    """CTEs 'sigs' + 'bands' + 'cand' for banded-minhash candidate pairs over
+    the element-list SQL expression (mirrors minhash_band_candidates)."""
+    sig_cols = ",\n             ".join(
+        f"list_aggregate(list_transform({elem_sql}, x -> md5('{s}' || x)), 'min') AS sig{s}"
+        for s in range(bands * rows)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b, key=" || '|' || ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )"""
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_filter("
+    "[substr(text, i, 3) for i in generate_series(1, greatest(length(text) - 2, 1))],"
+    " s -> length(s) = 3))"
 )
+
+
+def _ngram_jaccard_oracle() -> str:
+    jac = (
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / len(list_distinct(list_concat(a.sh, b.sh))), 6)"
+    )
+    return f"""
+    WITH {_band_cte(_SHINGLE_SQL)},
+    t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents WHERE len({_SHINGLE_SQL}) > 0)
+    SELECT doc_a, doc_b, {jac} AS jac
+    FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
+    WHERE {jac} >= 0.5
+    """
+
+
+@register("doc_ngram_jaccard", _ngram_jaccard_oracle())
 def doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_banded_oracle() -> str:
+    jac = (
+        "round(len(list_intersect(a.toks, b.toks))::DOUBLE"
+        " / len(list_distinct(list_concat(a.toks, b.toks))), 6)"
+    )
+    return f"""
+    WITH {_band_cte("string_split(text, ' ')")},
+    t AS (SELECT doc_id, list_distinct(list_sort(string_split(text, ' '))) AS toks FROM documents)
+    SELECT doc_a, doc_b, {jac} AS jac
+    FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
+    WHERE {jac} >= 0.5
+    """
+
+
+@register("doc_minhash_banded", _minhash_banded_oracle())
+def doc_minhash_banded(spark, sf_dir):
+    return minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _lang_oracle() -> str:

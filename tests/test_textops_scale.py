@@ -1,0 +1,174 @@
+"""Scale-path tests for the LLM-data-pipeline operators: banded minhash LSH,
+64-bit simhash + Hamming banding, banded multi-table embedding LSH, guarded
+candidate blocking, pointer-jumping connected components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_spark.linking import (
+    candidate_pairs_guarded,
+    candidate_pairs_prefix,
+)
+from biocypher_spark.operators.components import connected_components
+from biocypher_spark.similarity import embedding_near_dup
+from biocypher_spark.textops import (
+    exact_dedup,
+    minhash_band_candidates,
+    minhash_banded_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # 1-token edit
+        (4, "entirely different content about spark shuffles and joins"),
+        (5, "entirely different content about spark shuffles and joins today"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _brute_jaccard(rows, threshold):
+    out = {}
+    toks = {r["doc_id"]: set(r["text"].split(" ")) for r in rows}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_minhash_banded_exact_precision_and_dup_recall(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jac"] for r in minhash_banded_pairs(docs, threshold=0.5).collect()}
+    brute = _brute_jaccard(docs.collect(), 0.5)
+    # precision is exact: every emitted pair is a true >=0.5 pair with the true score
+    for pair, jac in got.items():
+        assert pair in brute and abs(brute[pair] - jac) < 1e-6
+    # exact duplicates always collide in every band -> guaranteed recall
+    assert got[(1, 2)] == 1.0
+    # banded recall dominates AND-only recall: any pair grouped by the
+    # full-signature method shares all bands, hence is a banded candidate
+    groups = minhash_dedup(docs).collect()
+    by_rep = {}
+    for r in groups:
+        by_rep.setdefault(r["rep_id"], []).append(r["doc_id"])
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_band_candidates(docs).collect()}
+    for members in by_rep.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert (a, b) in cand
+
+
+def test_ngram_jaccard_shingle_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jac"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs  # one-word edit keeps most 3-gram shingles
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash64_shape_and_near_dup(docs):
+    sh = {r["doc_id"]: r["simhash64"] for r in simhash64(docs).collect()}
+    assert all(len(h) == 16 and set(h) <= set("0123456789abcdef") for h in sh.values())
+    nd = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dup(docs, max_hamming=3).collect()}
+    assert nd[(1, 2)] == 0  # identical text -> identical hash
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    for (a, b), h in nd.items():
+        assert h == ham(sh[a], sh[b]) and h <= 3
+
+
+def test_exact_dedup_hashed_key_equivalent(docs):
+    by_hash = {(r["rep_id"], r["n"]) for r in exact_dedup(docs).collect()}
+    by_text = {
+        (r["rep_id"], r["n"])
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_hash == by_text
+
+
+def test_embedding_near_dup_banded(spark):
+    import math
+
+    def vec(seed, dims=64):
+        return [math.sin(seed * 31 + i) for i in range(dims)]
+
+    rows = [(0, vec(1)), (1, vec(1)), (2, vec(2)), (3, vec(3)), (4, vec(1))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["va"], r["vb"]): r["cos"]
+        for r in embedding_near_dup(emb, threshold=0.99, num_tables=4, planes_per_table=4).collect()
+    }
+    # identical vectors collide in every table and score 1.0
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0 and pairs[(1, 4)] == 1.0
+    assert all(c >= 0.99 for c in pairs.values())
+
+
+def test_embedding_near_dup_bucket_cap_bounds_candidates(spark):
+    # a degenerate corpus where EVERY vector is identical: all collide in all
+    # buckets; with max_bucket_size=1 every bucket is oversized and dropped,
+    # so the candidate set is empty — the cap bounds worst-case volume
+    rows = [(i, [1.0] * 64) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup(emb, threshold=0.0, num_tables=2, planes_per_table=2, max_bucket_size=1)
+    assert out.count() == 0
+
+
+def test_candidate_pairs_guarded_reroutes_hot_block(spark):
+    # 300 diverse digitless surfaces sharing a first letter: the cheap key
+    # would put all of them in ONE block (quadratic); the guard reroutes them
+    # through the prefix filter, whose candidates match it exactly
+
+    def word(i):  # "s" + base-23 letter digits -> diverse bigram sets
+        digits = [(i // 23**k) % 23 for k in range(3)]
+        return "s" + "".join(chr(97 + d) for d in digits)
+
+    surfaces = spark.createDataFrame([(word(i),) for i in range(300)], "nkey string").distinct()
+    guarded = candidate_pairs_guarded(surfaces, threshold=0.35, max_block_size=100)
+    prefix = candidate_pairs_prefix(surfaces, threshold=0.35)
+    g = {(r["ka"], r["kb"]) for r in guarded.collect()}
+    p = {(r["ka"], r["kb"]) for r in prefix.collect()}
+    assert g == p
+    n = surfaces.count()
+    assert len(g) < n * (n - 1) / 2  # strictly sub-quadratic
+
+
+def test_candidate_pairs_guarded_small_blocks_unchanged(spark):
+    from biocypher_spark.linking import candidate_pairs
+
+    surfaces = spark.createDataFrame(
+        [(f"prot{i}",) for i in range(40)] + [("proteinalpha",), ("proteinalphax",)], "nkey string"
+    )
+    guarded = {(r["ka"], r["kb"]) for r in candidate_pairs_guarded(surfaces, max_block_size=100).collect()}
+    cheap = {(r["ka"], r["kb"]) for r in candidate_pairs(surfaces).collect()}
+    assert guarded == cheap
+
+
+def test_connected_components_long_chain(spark):
+    # 30-node chain (diameter 29): one-hop propagation would need 29 rounds;
+    # pointer jumping converges well inside max_iter=25 and returns ONE component
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)], "src string, dst string"
+    )
+    comp = connected_components(edges, max_iter=25).collect()
+    assert len(comp) == 30
+    assert {r["comp"] for r in comp} == {"n00"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
