@@ -36,6 +36,7 @@ class BioCypherSpark:
         head_ontology_parent_map: Optional[dict] = None,
         head_ontology_file: Optional[str] = None,
         strict_mode: bool = False,
+        session_factory=None,
         **writer_kwargs,
     ):
         self.spark = spark
@@ -43,6 +44,7 @@ class BioCypherSpark:
         self.offline = offline
         self.outdir = output_directory
         self.strict_mode = strict_mode
+        self.session_factory = session_factory
         self.mapping = SchemaMapping(config_file=schema_config_path, schema=schema)
         if head_ontology_parent_map or head_ontology_file:
             self.ontology = Ontology(
@@ -56,6 +58,7 @@ class BioCypherSpark:
         self._writer: Optional[Neo4jBatchWriter] = None
         self._writer_kwargs = writer_kwargs
         self._kg: Optional[InMemoryKG] = None
+        self._online_writer = None
         self._missing: dict[str, int] = {}
 
     # -- lazy components -----------------------------------------------------
@@ -135,8 +138,56 @@ class BioCypherSpark:
 
     add_nodes = add
     add_edges = add
-    merge_nodes = add
-    merge_edges = add
+
+    # -- online upserts (S14 facade; reference merge_nodes/merge_edges,
+    # /root/reference/biocypher/_core.py:517-549) ------------------------------
+
+    @property
+    def online_writer(self):
+        if self._online_writer is None:
+            if self.session_factory is None:
+                raise ValueError(
+                    "merge_nodes/merge_edges in online mode need a Bolt "
+                    "session_factory (e.g. lambda: GraphDatabase.driver(...).session())"
+                )
+            from .writer.neo4j_online import Neo4jOnlineWriter
+
+            self._online_writer = Neo4jOnlineWriter(self.session_factory)
+        return self._online_writer
+
+    def merge_nodes(self, entities) -> bool:
+        """Upsert nodes. Online neo4j mode streams idempotent apoc.merge
+        upserts through the Bolt connector; otherwise identical to ``add``
+        (the reference's merge_* are aliases of _add_* too)."""
+        if not self.offline and self.dbms == "neo4j" and self.session_factory is not None:
+            staged, _ = self._stage(entities, "node")
+            if staged is None:
+                return True
+            out = self.translator.translate_nodes(staged)
+            self._accumulate_missing(out.missing)
+            self.online_writer.write_nodes(out.nodes)
+            return True
+        self.add(entities)
+        return True
+
+    def merge_edges(self, entities) -> bool:
+        """Upsert edges (and rel-as-node triplets) online, else ``add``."""
+        if not self.offline and self.dbms == "neo4j" and self.session_factory is not None:
+            staged, _ = self._stage(entities, "edge")
+            if staged is None:
+                return True
+            out = self.translator.translate_edges(staged)
+            self._accumulate_missing(out.missing)
+            if out.ran_nodes is not None:
+                from .translate import RAN_HIDDEN_COLS
+
+                self.online_writer.write_nodes(out.ran_nodes.drop(*RAN_HIDDEN_COLS))
+            self.online_writer.write_edges(out.edges)
+            if out.ran_edges is not None:
+                self.online_writer.write_edges(out.ran_edges)
+            return True
+        self.add(entities)
+        return True
 
     def get_kg(self) -> dict[str, DataFrame]:
         return self.kg.get_kg()

@@ -87,13 +87,18 @@ def dedup_rel_as_nodes(ran_nodes: DataFrame, ran_edges: DataFrame, order_cols: S
     """Rel-as-node dedup keyed on the reified node's (label, id) (D3).
 
     The reference skips the whole triplet when the node was seen
-    (``rel_as_node_seen``, /root/reference/biocypher/_deduplicate.py:83-111);
-    we dedup the node frame and semi-join the two edge frames on the
-    surviving (node_id, seq) pairs so exactly the first triplet's edges
-    survive.
+    (``rel_as_node_seen``, /root/reference/biocypher/_deduplicate.py:83-111).
+    When the node frame carries the translator's hidden endpoint columns,
+    the helper edges are REBUILT from the surviving node rows (narrow
+    explode, no extra shuffle) — exactly the first triplet's edges survive
+    even when SEQ ties or a duplicate id arrives with different endpoints.
+    Without them, fall back to a semi-join on (node_id, SEQ), which assumes
+    SEQ is unique per input row.
     """
+    from .translate import RAN_HIDDEN_COLS, ran_helper_edges
+
     ranked = _first_wins(ran_nodes, ["node_label", "node_id"], order_cols)
-    kept_nodes = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    kept_raw = ranked.filter(F.col("_rn") == 1).drop("_rn")
     dups = (
         ranked.filter(F.col("_rn") > 1)
         .select(
@@ -103,6 +108,11 @@ def dedup_rel_as_nodes(ran_nodes: DataFrame, ran_edges: DataFrame, order_cols: S
         )
         .distinct()
     )
-    surviving = kept_nodes.select(F.col("node_id").alias("target_id"), F.col(SEQ))
-    kept_edges = ran_edges.join(surviving, ["target_id", SEQ], "left_semi")
+    if all(c in ran_nodes.columns for c in RAN_HIDDEN_COLS):
+        kept_edges = ran_helper_edges(kept_raw.select("node_id", *RAN_HIDDEN_COLS, SEQ))
+        kept_nodes = kept_raw.drop(*RAN_HIDDEN_COLS)
+    else:
+        kept_nodes = kept_raw
+        surviving = kept_nodes.select(F.col("node_id").alias("target_id"), F.col(SEQ))
+        kept_edges = ran_edges.join(surviving, ["target_id", SEQ], "left_semi")
     return kept_nodes, kept_edges, dups

@@ -21,19 +21,37 @@ from .operators.components import connected_components
 
 class SparkGraph:
     """nodes: (node_id, node_label, ...); edges: (source_id, target_id,
-    relationship_label, ...)."""
+    relationship_label, ...); hyperedges: (hyperedge_id, hyperedge_type,
+    node_ids array<string>, props map<string,string>).
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame):
+    All mutators are functional (return a new SparkGraph over derived
+    DataFrames) — removal is an anti-join, never a driver-side loop, so it
+    distributes at any scale.
+    """
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, hyperedges: DataFrame | None = None):
         self.nodes = nodes
         self.edges = edges
+        if hyperedges is None:
+            hyperedges = nodes.limit(0).select(
+                F.col("node_id").cast("string").alias("hyperedge_id"),
+                F.col("node_id").cast("string").alias("hyperedge_type"),
+                F.array(F.col("node_id").cast("string")).alias("node_ids"),
+                F.create_map().cast("map<string,string>").alias("props"),
+            )
+        self.hyperedges = hyperedges
 
     # -- CRUD-ish (G1) -------------------------------------------------------
 
     def add_nodes(self, more: DataFrame) -> "SparkGraph":
-        return SparkGraph(self.nodes.unionByName(more, allowMissingColumns=True), self.edges)
+        return SparkGraph(
+            self.nodes.unionByName(more, allowMissingColumns=True), self.edges, self.hyperedges
+        )
 
     def add_edges(self, more: DataFrame) -> "SparkGraph":
-        return SparkGraph(self.nodes, self.edges.unionByName(more, allowMissingColumns=True))
+        return SparkGraph(
+            self.nodes, self.edges.unionByName(more, allowMissingColumns=True), self.hyperedges
+        )
 
     def has_node(self, node_id: str) -> bool:
         return self.nodes.filter(F.col("node_id") == node_id).limit(1).count() > 0
@@ -44,6 +62,95 @@ class SparkGraph:
 
     def get_edges_between(self, src: str, dst: str) -> DataFrame:
         return self.edges.filter((F.col("source_id") == src) & (F.col("target_id") == dst))
+
+    def remove_node(self, node_ids: str | list[str]) -> "SparkGraph":
+        """Remove node(s) and every edge touching them (reference
+        ``Graph.remove_node``, /root/reference/biocypher/_graph.py:215-255 —
+        there a dict delete + adjacency scan, here two anti-joins).
+        Hyperedges are not modified, mirroring the reference."""
+        if isinstance(node_ids, str):
+            node_ids = [node_ids]
+        doomed = self.nodes.sparkSession.createDataFrame([(n,) for n in node_ids], "node_id string")
+        nodes = self.nodes.join(F.broadcast(doomed), "node_id", "left_anti")
+        edges = self.edges.join(
+            F.broadcast(doomed.withColumnRenamed("node_id", "source_id")), "source_id", "left_anti"
+        ).join(F.broadcast(doomed.withColumnRenamed("node_id", "target_id")), "target_id", "left_anti")
+        return SparkGraph(nodes, edges.select(self.edges.columns), self.hyperedges)
+
+    def remove_edge(self, edge_id: str, id_col: str = "relationship_id") -> "SparkGraph":
+        """Remove an edge by id (reference ``Graph.remove_edge``,
+        _graph.py:347-376). Requires an edge-id column."""
+        if id_col not in self.edges.columns:
+            raise ValueError(f"edges have no '{id_col}' column; use remove_edges_between")
+        return SparkGraph(self.nodes, self.edges.filter(F.col(id_col) != edge_id), self.hyperedges)
+
+    def remove_edges_between(self, src: str, dst: str) -> "SparkGraph":
+        """Remove every edge from ``src`` to ``dst`` (id-less edge frames)."""
+        return SparkGraph(
+            self.nodes,
+            self.edges.filter(~((F.col("source_id") == src) & (F.col("target_id") == dst))),
+            self.hyperedges,
+        )
+
+    def get_subgraph(self, node_ids, include_edges: bool = True) -> "SparkGraph":
+        """Subgraph induced by ``node_ids`` (reference ``Graph.get_subgraph``,
+        _graph.py:631-655): the named nodes plus, optionally, edges whose BOTH
+        endpoints are in the set. Hyperedges are not copied (reference
+        behavior). ``node_ids`` may be a Python set/list (broadcast) or a
+        single-column DataFrame for large keep-sets."""
+        if isinstance(node_ids, DataFrame):
+            keep = node_ids.toDF("node_id")
+        else:
+            keep = self.nodes.sparkSession.createDataFrame(
+                [(n,) for n in sorted(node_ids)], "node_id string"
+            )
+        nodes = self.nodes.join(F.broadcast(keep), "node_id", "left_semi")
+        if include_edges:
+            edges = self.edges.join(
+                F.broadcast(keep.withColumnRenamed("node_id", "source_id")), "source_id", "left_semi"
+            ).join(F.broadcast(keep.withColumnRenamed("node_id", "target_id")), "target_id", "left_semi")
+            edges = edges.select(self.edges.columns)
+        else:
+            edges = self.edges.limit(0)
+        return SparkGraph(nodes, edges)
+
+    # -- hyperedges (G1; reference _graph.py:99-124, 415-491) -----------------
+
+    def add_hyperedges(self, more: DataFrame, validate_nodes: bool = False) -> "SparkGraph":
+        """Append hyperedge rows (hyperedge_id, hyperedge_type, node_ids,
+        props). With ``validate_nodes`` every member id must exist in
+        ``nodes`` (reference raises ValueError on unknown members,
+        _graph.py:430-436); arity >= 2 is always enforced."""
+        bad_arity = more.filter(F.size(F.array_distinct("node_ids")) < 2).limit(1).count()
+        if bad_arity:
+            raise ValueError("Hyperedge must connect at least 2 nodes")
+        if validate_nodes:
+            members = more.select(F.explode("node_ids").alias("node_id")).distinct()
+            unknown = members.join(self.nodes.select("node_id"), "node_id", "left_anti").limit(1).collect()
+            if unknown:
+                raise ValueError(f"Node '{unknown[0]['node_id']}' does not exist")
+        return SparkGraph(
+            self.nodes, self.edges, self.hyperedges.unionByName(more, allowMissingColumns=True)
+        )
+
+    def has_hyperedge(self, hyperedge_id: str) -> bool:
+        return self.hyperedges.filter(F.col("hyperedge_id") == hyperedge_id).limit(1).count() > 0
+
+    def get_hyperedge(self, hyperedge_id: str):
+        rows = self.hyperedges.filter(F.col("hyperedge_id") == hyperedge_id).limit(1).collect()
+        return rows[0] if rows else None
+
+    def get_hyperedges(self, hyperedge_type: str | None = None) -> DataFrame:
+        if hyperedge_type is None:
+            return self.hyperedges
+        return self.hyperedges.filter(F.col("hyperedge_type") == hyperedge_type)
+
+    def hyperedge_membership(self) -> DataFrame:
+        """Expanded (hyperedge_id, hyperedge_type, node_id) membership table —
+        the relational form joins/aggregations want at scale."""
+        return self.hyperedges.select(
+            "hyperedge_id", "hyperedge_type", F.explode("node_ids").alias("node_id")
+        )
 
     # -- neighbors (G2) --------------------------------------------------------
 
@@ -105,6 +212,44 @@ class SparkGraph:
         edges = self.edges.select("source_id", "target_id").toDF("src", "dst").unionByName(loops)
         return connected_components(edges, max_iter=max_iter)
 
+    def find_connected_components(self, node_id: str, max_depth: int = 2) -> dict:
+        """Component around a seed node, depth-limited (reference
+        ``Workflow.find_connected_components``,
+        /root/reference/biocypher/_workflow.py:446-482). Frontier expansion
+        by undirected join, one round per depth level, early exit when the
+        frontier empties. Returns the reference dict shape:
+        {nodes, edges, hyperedges, statistics} (hyperedges empty — the
+        reference subgraph does not copy them)."""
+        if not self.has_node(node_id):
+            return {"nodes": [], "edges": [], "hyperedges": []}
+        spark = self.nodes.sparkSession
+        sym = (
+            self.edges.select(F.col("source_id").alias("a"), F.col("target_id").alias("b"))
+            .unionByName(self.edges.select(F.col("target_id").alias("a"), F.col("source_id").alias("b")))
+            .distinct()
+        )
+        seen = spark.createDataFrame([(node_id,)], "node_id string")
+        frontier = seen
+        for _ in range(max_depth):
+            nxt = (
+                sym.join(frontier.withColumnRenamed("node_id", "a"), "a", "left_semi")
+                .select(F.col("b").alias("node_id"))
+                .distinct()
+                .join(seen, "node_id", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            seen = seen.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        sub = self.get_subgraph(seen)
+        return {
+            "nodes": [r.asDict() for r in sub.nodes.collect()],
+            "edges": [r.asDict() for r in sub.edges.collect()],
+            "hyperedges": [],
+            "statistics": sub.get_statistics(),
+        }
+
     # -- statistics (D7) -----------------------------------------------------------------
 
     def statistics(self) -> dict:
@@ -115,6 +260,10 @@ class SparkGraph:
             r["relationship_label"]: r["count"]
             for r in self.edges.groupBy("relationship_label").count().collect()
         }
+        hyperedge_types = {
+            r["hyperedge_type"]: r["count"]
+            for r in self.hyperedges.groupBy("hyperedge_type").count().collect()
+        }
         endpoints = (
             self.edges.select(F.col("source_id").alias("node_id"))
             .unionByName(self.edges.select(F.col("target_id").alias("node_id")))
@@ -124,9 +273,34 @@ class SparkGraph:
         return {
             "num_nodes": sum(node_types.values()),
             "num_edges": sum(edge_types.values()),
+            "num_hyperedges": sum(hyperedge_types.values()),
             "node_types": node_types,
             "edge_types": edge_types,
+            "hyperedge_types": hyperedge_types,
             "isolated_nodes": isolated,
+        }
+
+    def get_statistics(self) -> dict:
+        """Reference-shaped statistics dict (``Graph.get_statistics``,
+        /root/reference/biocypher/_graph.py:587-629): basic counts,
+        per-type distributions (hyperedges included), connectivity."""
+        flat = self.statistics()
+        return {
+            "basic": {
+                "nodes": flat["num_nodes"],
+                "edges": flat["num_edges"],
+                "hyperedges": flat["num_hyperedges"],
+                "node_types": len(flat["node_types"]),
+                "edge_types": len(flat["edge_types"]),
+                "hyperedge_types": len(flat["hyperedge_types"]),
+            },
+            "node_types": flat["node_types"],
+            "edge_types": flat["edge_types"],
+            "hyperedge_types": flat["hyperedge_types"],
+            "connectivity": {
+                "isolated_nodes": flat["isolated_nodes"],
+                "connected_nodes": flat["num_nodes"] - flat["isolated_nodes"],
+            },
         }
 
     def node_type_counts(self) -> DataFrame:
@@ -163,10 +337,19 @@ class SparkGraph:
         scale that must be a distributed write)."""
         self.nodes.write.mode("overwrite").json(f"{path}/nodes")
         self.edges.write.mode("overwrite").json(f"{path}/edges")
+        self.hyperedges.write.mode("overwrite").json(f"{path}/hyperedges")
 
     @classmethod
     def from_json(cls, spark, path: str) -> "SparkGraph":
-        return cls(spark.read.json(f"{path}/nodes"), spark.read.json(f"{path}/edges"))
+        nodes = spark.read.json(f"{path}/nodes")
+        edges = spark.read.json(f"{path}/edges")
+        try:
+            hyper = spark.read.json(f"{path}/hyperedges")
+            if not hyper.columns:  # all-empty JSON dir -> no schema
+                hyper = None
+        except Exception:
+            hyper = None
+        return cls(nodes, edges, hyper)
 
     # -- export (G6/G7) ------------------------------------------------------------------
 

@@ -126,6 +126,14 @@ class KGPipeline:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _wipe_stale_parts(self) -> None:
+        """Remove {Label}-part*.csv left by a partially-completed previous run
+        (the pipeline owns its output directory)."""
+        import glob
+
+        for f in glob.glob(os.path.join(self.outdir, "*-part*.csv")):
+            os.remove(f)
+
     def _record_lineage(self, stage: str, df: DataFrame, key_col: str = "conv_id") -> None:
         """Per-partition lineage: rows per conv_id hash bucket."""
         if key_col not in df.columns:
@@ -152,28 +160,38 @@ class KGPipeline:
     def _build_tuples(self, linked: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Linked mentions -> staged node/edge tuple frames.
 
-        Node id = canonical id; name = lexicographically-first surface form
-        of the cluster. Edges = within-turn co-occurrence, aggregated with
-        an evidence count (`turns`), ids synthesized as src->tgt so edge
-        dedup (D2) is a no-op by construction.
+        Node id = canonical id NAMESPACED by input label ("label:canon"):
+        canonicalize() merges surfaces label-agnostically, so without the
+        namespace one canonical id appearing under two labels would yield two
+        node rows with identical id AND identical content-hash SEQ — the
+        writer's first-wins window would then pick an arbitrary label. The
+        namespace makes ids collision-free and keeps inputs unique by
+        construction (the premise behind track_seen=False). Name =
+        lexicographically-first surface form of the cluster. Edges =
+        within-turn co-occurrence, aggregated with an evidence count
+        (`turns`), ids synthesized as src->tgt so edge dedup (D2) is a
+        no-op by construction.
         """
+        ns_id = F.concat_ws(":", F.col("input_label"), F.col("canonical_id"))
         nodes = (
             linked.groupBy("canonical_id", "input_label")
             .agg(F.min("surface").alias("name"))
             .select(
-                F.col("canonical_id").alias("id"),
+                ns_id.alias("id"),
                 "input_label",
                 F.map_from_arrays(F.array(F.lit("name")), F.array(_json_str(F.col("name")))).alias("props"),
-                F.xxhash64("canonical_id").alias(SEQ),
+                F.xxhash64(ns_id).alias(SEQ),
             )
         )
 
         from .linking import cooccurrence_pairs
 
         pairs = cooccurrence_pairs(linked)
+        ns_a = F.concat_ws(":", F.col("la"), F.col("ca"))
+        ns_b = F.concat_ws(":", F.col("lb"), F.col("cb"))
         pp = (
             pairs.filter((F.col("la") == "protein") & (F.col("lb") == "protein"))
-            .groupBy(F.col("ca").alias("src"), F.col("cb").alias("tgt"))
+            .groupBy(ns_a.alias("src"), ns_b.alias("tgt"))
             .agg(F.count(F.lit(1)).alias("turns"))
             .withColumn("input_label", F.lit("protein_protein"))
         )
@@ -182,8 +200,8 @@ class KGPipeline:
         protein_first = F.col("la") == "protein"
         pd_ = (
             pd_pairs.select(
-                F.when(protein_first, F.col("ca")).otherwise(F.col("cb")).alias("src"),
-                F.when(protein_first, F.col("cb")).otherwise(F.col("ca")).alias("tgt"),
+                F.when(protein_first, ns_a).otherwise(ns_b).alias("src"),
+                F.when(protein_first, ns_b).otherwise(ns_a).alias("tgt"),
             )
             .groupBy("src", "tgt")
             .agg(F.count(F.lit(1)).alias("turns"))
@@ -240,6 +258,13 @@ class KGPipeline:
         # second emission would append duplicate {Label}-partNNN.csv files
         already_written = resume and self._is_done("nodes") and self._is_done("edges")
         if not already_written:
+            # a previous run may have crashed AFTER emitting part files but
+            # BEFORE the nodes/edges checkpoints landed (checkpointing happens
+            # after the writes) — or this may be a plain re-run into the same
+            # outdir. Stale parts would survive alongside the new emission and
+            # the import-call glob {Label}-part.* would feed duplicated rows
+            # to neo4j-admin import, so wipe them first.
+            self._wipe_stale_parts()
             writer.write_nodes(tn.nodes)
             writer.write_edges(te)
             writer.write_import_call()

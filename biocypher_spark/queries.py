@@ -918,6 +918,101 @@ def doc_dedup_rate(spark, sf_dir):
 
 
 @register(
+    "kg_hyperedges",
+    """
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_partkey) >= 2
+    )
+    SELECT DISTINCT 'h' || l.l_orderkey AS hyperedge_id,
+           'ORDER_PARTS' AS hyperedge_type,
+           'p' || l.l_partkey AS node_id
+    FROM lineitem l JOIN multi m ON l.l_orderkey = m.l_orderkey
+    """,
+)
+def kg_hyperedges(spark, sf_dir):
+    """G1 hyperedges: per-order hyperedge over its distinct parts, expanded
+    back through SparkGraph.hyperedge_membership (reference HyperEdge API,
+    _graph.py:99-124, 415-491)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_id = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    hyper = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set(part_id)).alias("node_ids"))
+        .filter(F.size("node_ids") >= 2)
+        .select(
+            F.concat(F.lit("h"), F.col("l_orderkey").cast("string")).alias("hyperedge_id"),
+            F.lit("ORDER_PARTS").alias("hyperedge_type"),
+            "node_ids",
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    nodes = li.select(part_id.alias("node_id"), F.lit("part").alias("node_label")).distinct()
+    g = SparkGraph(
+        nodes,
+        nodes.limit(0).select(
+            F.col("node_id").alias("source_id"),
+            F.col("node_id").alias("target_id"),
+            F.lit("x").alias("relationship_label"),
+        ),
+    ).add_hyperedges(hyper)
+    return g.hyperedge_membership()
+
+
+@register(
+    "kg_remove_node",
+    """
+    SELECT 'c' || o_custkey AS source_id, 'o' || o_orderkey AS target_id,
+           'PLACED' AS relationship_label
+    FROM orders WHERE o_custkey NOT IN (7, 13)
+    """,
+)
+def kg_remove_node(spark, sf_dir):
+    """G1 removal: remove_node drops the nodes and every touching edge via
+    anti-joins (reference _graph.py:215-255)."""
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("c"), "o_custkey").alias("source_id"),
+        F.concat(F.lit("o"), "o_orderkey").alias("target_id"),
+        F.lit("PLACED").alias("relationship_label"),
+    )
+    g = SparkGraph(
+        edges.select(F.col("source_id").alias("node_id"), F.lit("customer").alias("node_label")),
+        edges,
+    )
+    return g.remove_node(["c7", "c13"]).edges
+
+
+@register(
+    "kg_subgraph",
+    """
+    SELECT 'n' || n_nationkey AS source_id, 'r' || n_regionkey AS target_id,
+           'IN_REGION' AS relationship_label
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def kg_subgraph(spark, sf_dir):
+    """G1 subgraph: induced edges where BOTH endpoints are kept
+    (reference _graph.py:631-655)."""
+    nation = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.concat(F.lit("n"), "n_nationkey").alias("source_id"),
+        F.concat(F.lit("r"), "n_regionkey").alias("target_id"),
+        F.lit("IN_REGION").alias("relationship_label"),
+    )
+    nodes = (
+        edges.select(F.col("source_id").alias("node_id"))
+        .unionByName(edges.select(F.col("target_id").alias("node_id")))
+        .distinct()
+        .select("node_id", F.lit("geo").alias("node_label"))
+    )
+    g = SparkGraph(nodes, edges)
+    keep_ids = [r["n_nationkey"] for r in nation.filter(F.col("n_regionkey") == 1).collect()]
+    keep = {f"n{k}" for k in keep_ids} | {"r1"}
+    return g.get_subgraph(keep).edges
+
+
+@register(
     "kg_edges_between",
     """
     SELECT 'c' || o_custkey AS source_id, 'o' || o_orderkey AS target_id,

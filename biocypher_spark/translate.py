@@ -53,6 +53,39 @@ class TranslatedNodes:
     missing: DataFrame
 
 
+RAN_HIDDEN_COLS = ["_src", "_tgt", "_l1", "_l2"]
+
+
+def ran_helper_edges(nodes_with_endpoints: DataFrame) -> DataFrame:
+    """Explode rel-as-node rows carrying hidden endpoint/role columns into
+    their IS_SOURCE_OF/IS_TARGET_OF (or role) helper-edge pairs. Narrow
+    (no shuffle); used by the translator and by triplet dedup so the edges
+    always correspond 1:1 to the surviving node rows."""
+    empty_props = F.create_map().cast("map<string,string>")
+    return nodes_with_endpoints.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("relationship_id"),
+                    F.col("_src").alias("source_id"),
+                    F.col("node_id").alias("target_id"),
+                    F.col("_l1").alias("relationship_label"),
+                    empty_props.alias("props"),
+                    F.col(SEQ).alias(SEQ),
+                ),
+                F.struct(
+                    F.lit(None).cast("string").alias("relationship_id"),
+                    F.col("_tgt").alias("source_id"),
+                    F.col("node_id").alias("target_id"),
+                    F.col("_l2").alias("relationship_label"),
+                    empty_props.alias("props"),
+                    F.col(SEQ).alias(SEQ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
 def _json_str(col: Column) -> Column:
     """JSON-encode a string column (proper escaping, JVM-side)."""
     arr = F.to_json(F.array(col))
@@ -281,37 +314,32 @@ class SparkTranslator:
                 F.lit("preferred_id"), F.lit('"id"'),
             ),
         )
+        # hidden endpoint/role columns let downstream dedup rebuild the helper
+        # edges from the SURVIVING node rows (first triplet wins exactly, even
+        # when SEQ ties or duplicate ids carry different endpoints) instead of
+        # semi-joining on a non-unique (target_id, SEQ) key
         ran_nodes = ran.select(
             F.col("ran_id").alias("node_id"),
             F.col("cls").alias("node_label"),
             F.lit("id").alias("preferred_id"),
             node_props.alias("props"),
             F.col(SEQ),
+            F.col("src").alias("_src"),
+            F.col("tgt").alias("_tgt"),
+            F.col("l1").alias("_l1"),
+            F.col("l2").alias("_l2"),
         )
 
-        empty_props = F.create_map().cast("map<string,string>")
-        ran_edges = ran.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(None).cast("string").alias("relationship_id"),
-                        F.col("src").alias("source_id"),
-                        F.col("ran_id").alias("target_id"),
-                        F.col("l1").alias("relationship_label"),
-                        empty_props.alias("props"),
-                        F.col(SEQ).alias(SEQ),
-                    ),
-                    F.struct(
-                        F.lit(None).cast("string").alias("relationship_id"),
-                        F.col("tgt").alias("source_id"),
-                        F.col("ran_id").alias("target_id"),
-                        F.col("l2").alias("relationship_label"),
-                        empty_props.alias("props"),
-                        F.col(SEQ).alias(SEQ),
-                    ),
-                )
-            ).alias("e")
-        ).select("e.*")
+        ran_edges = ran_helper_edges(
+            ran.select(
+                F.col("ran_id").alias("node_id"),
+                F.col("src").alias("_src"),
+                F.col("tgt").alias("_tgt"),
+                F.col("l1").alias("_l1"),
+                F.col("l2").alias("_l2"),
+                F.col(SEQ),
+            )
+        )
 
         return TranslatedEdges(
             edges=plain,

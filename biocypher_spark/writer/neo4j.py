@@ -377,6 +377,8 @@ class Neo4jBatchWriter:
 
         all_edges = plain
         if ran_nodes is not None:
+            from ..translate import RAN_HIDDEN_COLS, ran_helper_edges
+
             ran_nodes = self._dedup_against_seen(
                 ran_nodes.withColumn("_key", F.col("node_id")).withColumn("_klabel", F.col("node_label")),
                 ["_klabel", "_key"],
@@ -384,8 +386,15 @@ class Neo4jBatchWriter:
                 "edge",
                 "node_label",
             ).drop("_key", "_klabel")
-            surviving = ran_nodes.select(F.col("node_id").alias("target_id"), SEQ)
-            ran_edges = ran_edges.join(surviving, ["target_id", SEQ], "left_semi")
+            if all(c in ran_nodes.columns for c in RAN_HIDDEN_COLS):
+                # rebuild helper edges from the SURVIVING node rows (narrow
+                # explode) — deterministic even when SEQ ties across duplicate
+                # triplets, unlike a (target_id, SEQ) semi-join
+                ran_edges = ran_helper_edges(ran_nodes.select("node_id", *RAN_HIDDEN_COLS, SEQ))
+                ran_nodes = ran_nodes.drop(*RAN_HIDDEN_COLS)
+            else:
+                surviving = ran_nodes.select(F.col("node_id").alias("target_id"), SEQ)
+                ran_edges = ran_edges.join(surviving, ["target_id", SEQ], "left_semi")
             if ran_nodes.limit(1).count() > 0:
                 self.write_nodes(ran_nodes)
             all_edges = plain.unionByName(ran_edges) if plain is not None else ran_edges

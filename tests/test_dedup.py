@@ -79,3 +79,36 @@ def test_no_duplicates_empty_metrics(spark, translator):
     nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(3))).nodes
     res = dedup_nodes(nodes)
     assert res.duplicates.count() == 0
+
+
+def test_rel_as_node_dedup_seq_ties(spark, translator):
+    """Duplicate triplets sharing id AND SEQ keep exactly ONE pair of helper
+    edges (the old (target_id, SEQ) semi-join kept both; edges are now
+    rebuilt from the surviving node rows)."""
+    trips = rel_as_node_edges(2)
+    from biocypher_spark.model import SEQ
+
+    staged = edges_from_tuples(spark, trips + trips)  # exact duplicates
+    # force SEQ ties: content-hash style SEQ identical for identical rows
+    staged = staged.withColumn(SEQ, F.xxhash64("id"))
+    out = translator.translate_edges(staged)
+    kept_nodes, kept_edges, dups = dedup_rel_as_nodes(out.ran_nodes, out.ran_edges)
+    assert kept_nodes.count() == 2
+    assert kept_edges.count() == 4  # one IS_SOURCE_OF + IS_TARGET_OF pair each
+    labels = [r["relationship_label"] for r in kept_edges.collect()]
+    assert sorted(labels) == ["IS_SOURCE_OF", "IS_SOURCE_OF", "IS_TARGET_OF", "IS_TARGET_OF"]
+
+
+def test_rel_as_node_dup_id_different_endpoints(spark, translator):
+    """Two triplets with the SAME explicit id but different endpoints: the
+    reference skips the whole second triplet, so only the first triplet's
+    edge pair may survive."""
+    t = rel_as_node_edges(1)[0]
+    # same relationship id, different source node
+    t2 = (t[0], "pX", t[2], t[3], t[4])
+    staged = edges_from_tuples(spark, [t, t2])
+    out = translator.translate_edges(staged)
+    kept_nodes, kept_edges, dups = dedup_rel_as_nodes(out.ran_nodes, out.ran_edges)
+    assert kept_nodes.count() == 1
+    srcs = {r["source_id"] for r in kept_edges.filter(F.col("relationship_label") == "IS_SOURCE_OF").collect()}
+    assert srcs == {t[1]}  # first triplet's source only, never pX

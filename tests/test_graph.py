@@ -68,3 +68,103 @@ def test_components(g):
 def test_topk(g):
     top = g.top_k_types(1).collect()
     assert top[0]["label"] == "protein" and top[0]["cnt"] == 3
+
+
+# -- hyperedges / removal / subgraph / seeded components (reference _graph.py
+# hyperedge + remove + subgraph API, _workflow.py find_connected_components) --
+
+
+@pytest.fixture(scope="module")
+def hg(spark, g):
+    hyper = spark.createDataFrame(
+        [
+            ("h1", "complex", ["a", "b", "c"], {}),
+            ("h2", "complex", ["c", "d"], {"src": "curated"}),
+            ("h3", "pathway", ["a", "d"], {}),
+        ],
+        "hyperedge_id string, hyperedge_type string, node_ids array<string>, props map<string,string>",
+    )
+    return g.add_hyperedges(hyper, validate_nodes=True)
+
+
+def test_hyperedge_crud(hg):
+    assert hg.has_hyperedge("h1") and not hg.has_hyperedge("zz")
+    assert set(hg.get_hyperedge("h2")["node_ids"]) == {"c", "d"}
+    assert hg.get_hyperedges("complex").count() == 2
+    assert hg.get_hyperedges().count() == 3
+    members = {(r["hyperedge_id"], r["node_id"]) for r in hg.hyperedge_membership().collect()}
+    assert ("h1", "a") in members and ("h3", "d") in members and len(members) == 7
+
+
+def test_hyperedge_validation(spark, g):
+    one_node = spark.createDataFrame(
+        [("bad", "t", ["a"], {})],
+        "hyperedge_id string, hyperedge_type string, node_ids array<string>, props map<string,string>",
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        g.add_hyperedges(one_node)
+    ghost = spark.createDataFrame(
+        [("bad", "t", ["a", "ghost"], {})],
+        "hyperedge_id string, hyperedge_type string, node_ids array<string>, props map<string,string>",
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        g.add_hyperedges(ghost, validate_nodes=True)
+
+
+def test_statistics_with_hyperedges(hg):
+    stats = hg.statistics()
+    assert stats["num_hyperedges"] == 3
+    assert stats["hyperedge_types"] == {"complex": 2, "pathway": 1}
+    ref = hg.get_statistics()  # reference-shaped dict (_graph.py:587-629)
+    assert set(ref) == {"basic", "node_types", "edge_types", "hyperedge_types", "connectivity"}
+    assert ref["basic"] == {
+        "nodes": 5, "edges": 4, "hyperedges": 3,
+        "node_types": 2, "edge_types": 2, "hyperedge_types": 2,
+    }
+    assert ref["connectivity"] == {"isolated_nodes": 1, "connected_nodes": 4}
+
+
+def test_remove_node(g):
+    g2 = g.remove_node("c")
+    assert not g2.has_node("c") and g2.nodes.count() == 4
+    # edges b->c, c->d, a->c all gone; a->b stays
+    remaining = {(r["source_id"], r["target_id"]) for r in g2.edges.collect()}
+    assert remaining == {("a", "b")}
+    assert g2.edges.columns == g.edges.columns
+
+
+def test_remove_edges_between(g):
+    g2 = g.remove_edges_between("a", "b")
+    assert g2.get_edges_between("a", "b").count() == 0
+    assert g2.edges.count() == 3
+    assert g2.nodes.count() == 5
+
+
+def test_get_subgraph(g):
+    sub = g.get_subgraph({"a", "b", "c"})
+    assert sub.nodes.count() == 3
+    got = {(r["source_id"], r["target_id"]) for r in sub.edges.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    no_edges = g.get_subgraph({"a", "b"}, include_edges=False)
+    assert no_edges.edges.count() == 0 and no_edges.nodes.count() == 2
+
+
+def test_find_connected_components_seeded(g):
+    out = g.find_connected_components("a", max_depth=1)
+    ids = {n["node_id"] for n in out["nodes"]}
+    assert ids == {"a", "b", "c"}  # 1 hop from a (undirected)
+    out2 = g.find_connected_components("a", max_depth=3)
+    ids2 = {n["node_id"] for n in out2["nodes"]}
+    assert ids2 == {"a", "b", "c", "d"}  # iso unreachable
+    assert out2["hyperedges"] == []
+    assert out2["statistics"]["basic"]["nodes"] == 4
+    # unknown seed -> reference empty shape
+    assert g.find_connected_components("zz") == {"nodes": [], "edges": [], "hyperedges": []}
+
+
+def test_json_roundtrip_with_hyperedges(hg, spark, tmp_path):
+    path = str(tmp_path / "graph_json")
+    hg.to_json(path)
+    back = type(hg).from_json(spark, path)
+    assert back.nodes.count() == 5 and back.edges.count() == 4
+    assert back.hyperedges.count() == 3

@@ -72,3 +72,76 @@ def test_online_edges_two_phase(spark, schema_path, tmp_path):
     rels = [r for c in calls if c["query"] == EDGE_MERGE_CYPHER for r in c["params"]["rels"]]
     assert {r["relationship_label"] for r in rels} == {"PERTURBED_IN_DISEASE"}
     assert all(r["properties"]["residue"] == "T253" for r in rels)
+
+
+def test_transient_retry(spark, schema_path, tmp_path):
+    """TransientError (deadlock) is retried with backoff; others re-raise."""
+    log = str(tmp_path / "retry.jsonl")
+
+    class TransientError(Exception):
+        code = "Neo.TransientError.Transaction.DeadlockDetected"
+
+    class FlakySession(RecordingSession):
+        fail_path = str(tmp_path / "fails")
+
+        def run(self, query, **params):
+            # fail the first two calls ever, then behave
+            import os
+            n = int(open(self.fail_path).read()) if os.path.exists(self.fail_path) else 0
+            if n < 2:
+                open(self.fail_path, "w").write(str(n + 1))
+                raise TransientError("deadlock")
+            super().run(query, **params)
+
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    nodes = t.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    Neo4jOnlineWriter(lambda: FlakySession(log), max_retries=3).write_nodes(nodes)
+    ents = [e for c in _read_calls(log) for e in c["params"]["entities"]]
+    assert {e["node_id"] for e in ents} == {"p1", "p2"}
+
+
+def test_nontransient_raises(spark, schema_path, tmp_path):
+    class FatalSession:
+        def run(self, query, **params):
+            raise ValueError("boom")
+
+        def close(self):
+            pass
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    nodes = t.translate_nodes(nodes_from_tuples(spark, protein_nodes(1))).nodes
+    with pytest.raises(Exception) as exc:
+        Neo4jOnlineWriter(lambda: FatalSession()).write_nodes(nodes)
+    assert "boom" in str(exc.value)
+
+
+def test_merge_facade_online(spark, schema_path, tmp_path):
+    """BioCypherSpark.merge_nodes/merge_edges delegate to the Bolt connector
+    in online mode (reference _core.py:517-549)."""
+    from biocypher_spark.core import BioCypherSpark
+    from fixtures.data_generator import perturbed_edges
+
+    log = str(tmp_path / "facade.jsonl")
+    bc = BioCypherSpark(
+        spark,
+        offline=False,
+        schema_config_path=schema_path,
+        output_directory=str(tmp_path / "out"),
+        session_factory=_factory(log),
+    )
+    assert bc.merge_nodes(protein_nodes(2))
+    assert bc.merge_edges(perturbed_edges(3)[1:])
+    calls = _read_calls(log)
+    queries = [c["query"] for c in calls]
+    assert NODE_MERGE_CYPHER in queries and EDGE_MERGE_CYPHER in queries and EDGE_STUB_CYPHER in queries
+
+
+def test_merge_facade_offline_falls_back_to_inmemory(spark, schema_path, tmp_path):
+    from biocypher_spark.core import BioCypherSpark
+
+    bc = BioCypherSpark(spark, schema_config_path=schema_path, output_directory=str(tmp_path / "out"))
+    assert bc.merge_nodes(protein_nodes(2))
+    assert "protein" in bc.get_kg()

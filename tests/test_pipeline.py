@@ -80,3 +80,45 @@ def test_resume_does_not_duplicate_part_files(spark, tmp_path):
     KGPipeline(spark, outdir).run(transcripts.limit(0), resume=True)
     second = sorted(f for f in _os.listdir(outdir) if "-part" in f)
     assert first == second
+
+
+def test_crash_between_write_and_checkpoint_wipes_stale_parts(spark, tmp_path):
+    """A run that crashed AFTER emitting part files but BEFORE the nodes/edges
+    checkpoints landed must not double the imported data on the next run:
+    stale {Label}-part*.csv are wiped before re-emission."""
+    import os as _os
+    import shutil
+
+    outdir = str(tmp_path / "kg4")
+    transcripts = generate_transcripts(spark, 400)
+    KGPipeline(spark, outdir).run(transcripts)
+    first = sorted(f for f in _os.listdir(outdir) if "-part" in f)
+    # simulate the crash: writer output exists, stage checkpoints missing
+    shutil.rmtree(os.path.join(outdir, "_run", "nodes"))
+    shutil.rmtree(os.path.join(outdir, "_run", "edges"))
+    KGPipeline(spark, outdir).run(transcripts, resume=True)
+    second = sorted(f for f in _os.listdir(outdir) if "-part" in f)
+    assert first == second  # same files, no -partNNN continuation appended
+
+
+def test_label_collision_yields_namespaced_nodes(spark, tmp_path):
+    """One canonical id under two labels -> two distinct node ids, never a
+    nondeterministic first-wins tie (ADVICE: label-agnostic canonicalize)."""
+    import datetime
+
+    rows = [
+        ("c1", 0, "user", "tp53 discussed with diabetes context", None, datetime.datetime(2024, 1, 1, 0, 0)),
+        ("c1", 1, "assistant", "tp53 again", None, datetime.datetime(2024, 1, 1, 0, 1)),
+    ]
+    transcripts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    outdir = str(tmp_path / "kg5")
+    # patterns that BOTH match the same surface 'tp53'
+    res = KGPipeline(spark, outdir).run(
+        transcripts, patterns={"protein": r"\btp53\b", "disease": r"\b(?:tp53|diabetes)\b"}
+    )
+    ids = [r["node_id"] for r in res.nodes.collect()]
+    assert len(ids) == len(set(ids))  # no id collisions
+    assert any(i.startswith("protein:") for i in ids)
+    assert any(i.startswith("disease:") for i in ids)
