@@ -138,20 +138,67 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video/audio rows: one output row per sampled
     timestamp; the frame decode itself is the stubbed codec (frame_sha is
-    the deterministic stand-in for frame pixels)."""
+    the deterministic stand-in for frame pixels).
+
+    The row->frames expansion is vectorized inside each Arrow batch
+    (repeat/cumsum index arithmetic, no ``iterrows``); only the stub codec
+    hash itself runs per frame, exactly like a real decoder would.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                duration = (row["meta"]["duration_ms"] or 0) if row["meta"] else 0
-                for j, ms in enumerate(range(0, duration, every_ms)):
-                    sha = hashlib.sha256(bytes(row["content"]) + ms.to_bytes(4, "big")).hexdigest()
-                    out.append((row["media_id"], j, ms, sha))
-            if out:
-                yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_ms", "frame_sha"])
+            if pdf.empty:
+                continue
+            durations = np.array(
+                [int((m["duration_ms"] or 0) if m else 0) for m in pdf["meta"]], dtype=np.int64
+            )
+            counts = np.maximum(durations, 0) // every_ms + (np.maximum(durations, 0) % every_ms > 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            offsets = np.repeat(np.cumsum(counts) - counts, counts)
+            frame_idx = (np.arange(total) - offsets).astype(np.int32)
+            frame_ms = (frame_idx.astype(np.int64) * every_ms).astype(np.int32)
+            contents = pdf["content"].to_numpy()
+            # stub codec: frame hash = sha256(content || '|' || ms) — the
+            # ASCII suffix keeps it replicable in engines whose sha256 is
+            # string-typed (oracle parity)
+            shas = [
+                hashlib.sha256(bytes(contents[i]) + b"|" + str(int(ms)).encode()).hexdigest()
+                for i, ms in zip(row_idx, frame_ms)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx,
+                    "frame_ms": frame_ms,
+                    "frame_sha": shas,
+                }
+            )
 
     return media.filter(F.col("kind").isin("video", "audio")).mapInPandas(run, FRAME_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Bridge: treat document text bytes as opaque media content so the
+    multimodal plumbing can be exercised (and DuckDB-oracled) over the
+    standard testdata. duration_ms derives deterministically from n_chars."""
+    duration = (
+        (F.col("n_chars") % 5).cast("int") * 1000 if kind in ("video", "audio") else F.lit(None).cast("int")
+    )
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit(f"fake/{kind}").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            duration.alias("duration_ms"),
+            (F.lit(16000) if kind == "audio" else F.lit(None)).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
 
 
 def media_near_dup(media: DataFrame) -> DataFrame:

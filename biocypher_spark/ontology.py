@@ -193,6 +193,33 @@ class Ontology:
 
     # -- visualisation (O6) ----------------------------------------------------
 
+    def to_networkx(self):
+        """Ontology hierarchy as a networkx DiGraph (child -> parent edges),
+        including multiple inheritance that the ASCII tree flattens."""
+        import networkx as nx
+
+        g = nx.DiGraph()
+        for child, parents in self._parents.items():
+            g.add_node(child, label=child)
+            for p in parents:
+                g.add_edge(child, p)
+        return g
+
+    def write_graphml(self, to_disk: str) -> str:
+        """GraphML export of the hierarchy (reference
+        ``show_ontology_structure(to_disk=...)``,
+        /root/reference/biocypher/_ontology.py:819-856 via nx.write_graphml;
+        same file name ``ontology_structure.graphml``). Returns the path."""
+        import os
+
+        import networkx as nx
+
+        g = self.to_networkx()
+        os.makedirs(to_disk, exist_ok=True)
+        path = os.path.join(to_disk, "ontology_structure.graphml")
+        nx.write_graphml(g, path)
+        return path
+
     def tree_string(self, root: Optional[str] = None) -> str:
         """ASCII tree of the DAG (reference uses treelib,
         /root/reference/biocypher/_ontology.py:767-856; treelib is not

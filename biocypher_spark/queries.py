@@ -766,6 +766,66 @@ def emb_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing over documents-as-media (multimodal.py)
+# ---------------------------------------------------------------------------
+
+_NIB = "strpos('0123456789abcdef', substr(sha256(text), {p}, 1)) - 1"
+
+
+@register(
+    "media_fingerprint",
+    f"""
+    SELECT 'm' || doc_id AS media_id, 'image' AS kind,
+           length(text)::INTEGER AS n_bytes,
+           sha256(text) AS content_sha,
+           ({_NIB.format(p=1)}) * 16 + ({_NIB.format(p=2)}) AS b0
+    FROM documents
+    """,
+)
+def media_fingerprint(spark, sf_dir):
+    """Multimodal feature extraction (Arrow-batched mapInPandas over
+    size-balanced partitions) exercised over documents-as-media; b0 is the
+    first deterministic-codec feature byte recovered from the float feature,
+    so the whole decode -> feature path is hash-checked."""
+    from .multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_sha",
+        F.round(F.element_at("feature", 1) * 255, 0).cast("int").alias("b0"),
+    )
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, text, (n_chars % 5) * 1000 AS dur FROM documents),
+    f AS (
+      SELECT doc_id, text, unnest(generate_series(0, dur - 1000, 1000)) AS frame_ms
+      FROM m WHERE dur > 0
+    )
+    SELECT 'm' || doc_id AS media_id,
+           (frame_ms / 1000)::INTEGER AS frame_idx,
+           frame_ms::INTEGER AS frame_ms,
+           sha256(text || '|' || frame_ms::VARCHAR) AS frame_sha
+    FROM f
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Vectorized frame sampling (row->frames expansion inside Arrow batches)
+    over documents-as-video; the frame hash replicates in SQL via
+    sha256(content || big-endian ms)."""
+    from .multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"), kind="video")
+    return sample_frames(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
 # Relational analytics (aggregation / join / window / sessionize)
 # ---------------------------------------------------------------------------
 

@@ -40,37 +40,98 @@ def _iri(namespace: str, col):
     return F.concat(F.lit(f"<{namespace}"), safe, F.lit(">"))
 
 
+TURTLE_FORMATS = ("turtle", "ttl")
+SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS
+
+
 class RDFWriter:
-    def __init__(self, spark, translator, output_directory: str, namespace: str = "https://biocypher.org/biocypher#"):
+    """``rdf_format``: ``ntriples`` (default; line-oriented, the scale path)
+    or ``turtle`` (same triples with @prefix header and prefixed names,
+    serialized from string templates — reference ``_RDFWriter`` formats
+    beyond these need rdflib vocabulary handling, which is unavailable
+    here; requesting one raises with that explanation)."""
+
+    def __init__(
+        self,
+        spark,
+        translator,
+        output_directory: str,
+        namespace: str = "https://biocypher.org/biocypher#",
+        rdf_format: str = "ntriples",
+    ):
+        if rdf_format not in SUPPORTED_FORMATS:
+            raise ValueError(
+                f"rdf_format {rdf_format!r} not supported: only {SUPPORTED_FORMATS} can be "
+                "emitted without rdflib (absent in this environment); the reference's "
+                "xml/json-ld serializations need rdflib vocabulary handling"
+            )
         self.spark = spark
         self.translator = translator
         self.outdir = output_directory
         self.ns = namespace
+        self.turtle = rdf_format in TURTLE_FORMATS
         os.makedirs(self.outdir, exist_ok=True)
+
+    @property
+    def _ext(self) -> str:
+        return "ttl" if self.turtle else "nt"
+
+    def _header(self) -> str:
+        return (
+            f"@prefix bc: <{self.ns}> .\n"
+            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n\n"
+        )
 
     def _write_label_file(self, lines: DataFrame, filename: str) -> str:
         tmp = os.path.join(self.outdir, "_tmp_rdf")
         lines.coalesce(1).write.mode("overwrite").text(tmp)
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         target = os.path.join(self.outdir, filename)
-        shutil.move(part, target)
+        if self.turtle:
+            with open(target, "w") as out, open(part) as src:
+                out.write(self._header())
+                shutil.copyfileobj(src, out)
+            os.remove(part)
+        else:
+            shutil.move(part, target)
         shutil.rmtree(tmp, ignore_errors=True)
         return target
+
+    def _term(self, col):
+        """Subject/predicate/object term from a column value."""
+        if self.turtle:
+            return F.concat(F.lit("bc:"), F.regexp_replace(col, "[^a-zA-Z0-9_-]", "_"))
+        return _iri(self.ns, col)
+
+    def _const(self, pascal_name: str) -> str:
+        return f"bc:{pascal_name}" if self.turtle else f"<{self.ns}{pascal_name}>"
+
+    @property
+    def _rdf_type(self) -> str:
+        return "rdf:type" if self.turtle else RDF_TYPE
+
+    @property
+    def _rdf_subject(self) -> str:
+        return "rdf:subject" if self.turtle else RDF_SUBJECT
+
+    @property
+    def _rdf_object(self) -> str:
+        return "rdf:object" if self.turtle else RDF_OBJECT
 
     def write_nodes(self, nodes: DataFrame) -> list[str]:
         written = []
         labels = [r[0] for r in nodes.select("node_label").distinct().collect()]
         for label in labels:
             sub = nodes.filter(F.col("node_label") == label)
-            subject = _iri(self.ns, F.col("node_id"))
-            cls = f"<{self.ns}{sentence_to_pascal(label)}>"
-            type_line = F.concat(subject, F.lit(f" {RDF_TYPE} {cls} ."))
+            subject = self._term(F.col("node_id"))
+            cls = self._const(sentence_to_pascal(label))
+            type_line = F.concat(subject, F.lit(f" {self._rdf_type} {cls} ."))
             prop_lines = F.transform(
                 F.map_entries("props"),
                 lambda e: F.concat(
                     subject,
                     F.lit(" "),
-                    _iri(self.ns, e["key"]),
+                    self._term(e["key"]),
                     F.lit(' "'),
                     _escape_literal(json_pystr(e["value"])),
                     F.lit('" .'),
@@ -79,7 +140,7 @@ class RDFWriter:
             lines = sub.select(
                 F.explode(F.concat(F.array(type_line), prop_lines)).alias("value")
             )
-            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.nt"))
+            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}"))
         return written
 
     def write_edges(self, edges: DataFrame) -> list[str]:
@@ -87,18 +148,18 @@ class RDFWriter:
         labels = [r[0] for r in edges.select("relationship_label").distinct().collect()]
         for label in labels:
             sub = edges.filter(F.col("relationship_label") == label)
-            pred = f"<{self.ns}{sentence_to_pascal(label)}>"
-            src = _iri(self.ns, F.col("source_id"))
-            tgt = _iri(self.ns, F.col("target_id"))
+            pred = self._const(sentence_to_pascal(label))
+            src = self._term(F.col("source_id"))
+            tgt = self._term(F.col("target_id"))
             direct = F.concat(src, F.lit(f" {pred} "), tgt, F.lit(" ."))
-            rel = _iri(self.ns, F.col("relationship_id"))
+            rel = self._term(F.col("relationship_id"))
             reified = F.concat(
-                rel, F.lit(f" {RDF_TYPE} {pred} .\n"),
-                rel, F.lit(f" {RDF_SUBJECT} "), src, F.lit(" .\n"),
-                rel, F.lit(f" {RDF_OBJECT} "), tgt, F.lit(" ."),
+                rel, F.lit(f" {self._rdf_type} {pred} .\n"),
+                rel, F.lit(f" {self._rdf_subject} "), src, F.lit(" .\n"),
+                rel, F.lit(f" {self._rdf_object} "), tgt, F.lit(" ."),
             )
             lines = sub.select(
                 F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
             )
-            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.nt"))
+            written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}"))
         return written

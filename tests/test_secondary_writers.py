@@ -92,3 +92,53 @@ def test_rdf_writer(spark, translator, tmp_path):
     ent = read(tmp_path / "PERTURBED_IN_DISEASE.nt")
     assert "rdf-syntax-ns#subject>" in ent
     assert "rdf-syntax-ns#object>" in ent
+
+
+def test_rdf_writer_turtle(spark, translator, tmp_path):
+    """Turtle serialization: @prefix header + prefixed names, same triples
+    as the N-Triples path (reference _rdf.py multi-format support)."""
+    out = tmp_path / "ttl"
+    w = RDFWriter(spark, translator, str(out), rdf_format="turtle")
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    ttl = read(out / "Protein.ttl")
+    assert ttl.startswith("@prefix bc: <https://biocypher.org/biocypher#> .")
+    assert "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> ." in ttl
+    assert "bc:p1 rdf:type bc:Protein ." in ttl
+    ent = read(out / "PERTURBED_IN_DISEASE.ttl")
+    assert "rdf:subject bc:p" in ent and "rdf:object bc:" in ent
+    # triple count parity with the ntriples path (modulo header)
+    w2 = RDFWriter(spark, translator, str(tmp_path / "nt"))
+    w2.write_nodes(nodes)
+    nt = read(tmp_path / "nt" / "Protein.nt")
+    assert len([l for l in ttl.splitlines() if l.endswith(" .") and not l.startswith("@prefix")]) == len(
+        [l for l in nt.splitlines() if l]
+    )
+
+
+def test_rdf_writer_unsupported_format(spark, translator, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="rdflib"):
+        RDFWriter(spark, translator, str(tmp_path), rdf_format="xml")
+
+
+def test_ontology_graphml_export(tmp_path):
+    """GraphML export parity (reference show_ontology_structure(to_disk),
+    _ontology.py:819-856): same filename, full multi-parent hierarchy."""
+    import networkx as nx
+
+    from biocypher_spark.mapping import SchemaMapping
+    from biocypher_spark.ontology import Ontology
+
+    onto = Ontology(
+        SchemaMapping(schema={}),
+        parent_map={"protein": "polypeptide", "polypeptide": "named thing", "gene": "named thing"},
+    )
+    path = onto.write_graphml(str(tmp_path))
+    assert path.endswith("ontology_structure.graphml")
+    g = nx.read_graphml(path)
+    assert set(g.nodes) >= {"protein", "polypeptide", "named thing", "gene"}
+    assert ("protein", "polypeptide") in g.edges
