@@ -132,6 +132,81 @@ def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> Data
     return a.join(b, "g").filter(F.col("ka") < F.col("kb")).select("ka", "kb").distinct()
 
 
+def _bigrams_py(s: str) -> set:
+    return {s[i : i + 2] for i in range(len(s) - 1)} if len(s) >= 2 else set()
+
+
+def _cheap_block_py(k: str) -> str:
+    import re
+
+    m = re.match(r"^([a-z]+)", k)
+    d = re.search(r"([0-9]+)$", k)
+    return (m.group(1)[0] if m else "") + (d.group(1) if d else "")
+
+
+def _prefix_candidates_py(keys: list[str], threshold: float) -> set:
+    """Driver-side mirror of candidate_pairs_prefix (same prefix length, same
+    (document-frequency, gram) global ordering)."""
+    import math
+
+    grams = {k: _bigrams_py(k) for k in keys}
+    df: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    rank = {g: i for i, (g, _) in enumerate(sorted(df.items(), key=lambda kv: (kv[1], kv[0])))}
+    buckets: dict[str, list[str]] = {}
+    for k, gs in grams.items():
+        n = len(gs)
+        if n == 0:
+            continue
+        plen = n - math.ceil(n * threshold) + 1
+        for g in sorted(gs, key=rank.get)[:plen]:
+            buckets.setdefault(g, []).append(k)
+    out: set = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                out.add((a, b))
+    return out
+
+
+def canonicalize_local(keys: list[str], threshold: float = 0.35, max_block_size: int = 1024) -> dict:
+    """Driver-side mirror of the distributed blocking + scoring +
+    union-find pipeline for small surface domains: identical candidates
+    (cheap blocks up to ``max_block_size``, prefix filter beyond), identical
+    bigram-Jaccard scoring, identical min-label components — but zero Spark
+    jobs, which removes the Amdahl constant that otherwise caps scaling
+    efficiency of the surrounding pipeline at high core counts."""
+    from .operators.components import connected_components_local
+
+    blocks: dict[str, list[str]] = {}
+    for k in keys:
+        blocks.setdefault(_cheap_block_py(k), []).append(k)
+    pairs: set = set()
+    big_members: list[str] = []
+    for members in blocks.values():
+        if len(members) <= max_block_size:
+            members = sorted(set(members))
+            for i, a in enumerate(members):
+                for b in members[i + 1 :]:
+                    pairs.add((a, b))
+        else:
+            big_members.extend(members)
+    if big_members:
+        pairs |= _prefix_candidates_py(sorted(set(big_members)), threshold)
+    grams = {k: _bigrams_py(k) for k in keys}
+    edges = []
+    for a, b in pairs:
+        ga, gb = grams[a], grams[b]
+        union = len(ga | gb)
+        sim = len(ga & gb) / union if union else 0.0
+        if round(sim, 6) >= threshold:
+            edges.append((a, b))
+    return connected_components_local(edges)
+
+
 def score_pairs(pairs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Character-bigram Jaccard similarity, keep pairs >= threshold."""
     scored = pairs.withColumn("_ba", _bigrams(F.col("ka"))).withColumn("_bb", _bigrams(F.col("kb")))
@@ -161,22 +236,20 @@ def canonicalize(
     """
     surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
     surfaces = surfaces.persist()
-    n_surfaces = surfaces.count()
-    compact = surfaces.coalesce(8) if n_surfaces < driver_cc_threshold else surfaces
-    pairs = candidate_pairs_guarded(compact, threshold=threshold, max_block_size=max_block_size)
-    edges = score_pairs(pairs, threshold)
-
-    if n_surfaces < driver_cc_threshold:
-        from .operators.components import connected_components_local
-
-        comp_map = connected_components_local(
-            [(r["ka"], r["kb"]) for r in edges.select("ka", "kb").collect()]
-        )
-        spark = mentions.sparkSession
-        rows = [(r["nkey"], comp_map.get(r["nkey"], r["nkey"])) for r in surfaces.collect()]
+    spark = mentions.sparkSession
+    # one action decides the path AND fetches the domain: if the limited
+    # collect comes back short, we already hold the full surface set
+    head = surfaces.limit(driver_cc_threshold).collect()
+    if len(head) < driver_cc_threshold:
+        keys = [r["nkey"] for r in head]
+        comp_map = canonicalize_local(keys, threshold, max_block_size)
         surfaces.unpersist()
-        return spark.createDataFrame(rows, "nkey string, canonical_id string")
+        return spark.createDataFrame(
+            [(k, comp_map.get(k, k)) for k in keys], "nkey string, canonical_id string"
+        )
 
+    pairs = candidate_pairs_guarded(surfaces, threshold=threshold, max_block_size=max_block_size)
+    edges = score_pairs(pairs, threshold)
     loops = surfaces.select(F.col("nkey").alias("ka"), F.col("nkey").alias("kb"), F.lit(1.0).alias("sim"))
     comp = connected_components(edges.unionByName(loops), src="ka", dst="kb", max_iter=max_iter)
     surfaces.unpersist()

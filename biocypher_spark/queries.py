@@ -540,12 +540,15 @@ _BANDS = 4
 _ROWS_PER_BAND = 3
 
 
-def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> str:
+def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, est_min: int = 0) -> str:
     """CTEs 'sigs' + 'bands' + 'cand' for banded-minhash candidate pairs over
-    the element-list SQL expression (mirrors minhash_band_candidates)."""
+    the element-list SQL expression (mirrors minhash_band_candidates). With
+    ``est_min`` > 0 the candidate CTE also applies the signature-agreement
+    prefilter (>= est_min matching sigs of bands*rows)."""
+    seeds = bands * rows
     sig_cols = ",\n             ".join(
         f"list_aggregate(list_transform({elem_sql}, x -> md5('{s}' || x)), 'min') AS sig{s}"
-        for s in range(bands * rows)
+        for s in range(seeds)
     )
     band_rows = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
@@ -553,12 +556,19 @@ def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) ->
         )
         for b in range(bands)
     )
+    est_join, est_where = "", ""
+    if est_min > 0:
+        agree = " + ".join(f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(seeds))
+        est_join = "JOIN sigs sa ON sa.doc_id = x.doc_id JOIN sigs sb ON sb.doc_id = y.doc_id"
+        est_where = f"AND ({agree}) >= {est_min}"
     return f"""
     sigs AS (SELECT doc_id, {sig_cols} FROM documents),
     bands AS ({band_rows}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      {est_join}
+      WHERE 1 = 1 {est_where}
     )"""
 
 
@@ -568,24 +578,38 @@ _SHINGLE_SQL = (
     " s -> length(s) = 3))"
 )
 
+_NGRAM_T = 0.9
+_NGRAM_BANDS = 4
+_NGRAM_ROWS = 6
+_NGRAM_SLACK = 0.1
+
 
 def _ngram_jaccard_oracle() -> str:
+    import math
+
+    est_min = math.ceil((_NGRAM_T - _NGRAM_SLACK) * _NGRAM_BANDS * _NGRAM_ROWS)
     jac = (
         "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
         " / len(list_distinct(list_concat(a.sh, b.sh))), 6)"
     )
     return f"""
-    WITH {_band_cte(_SHINGLE_SQL)},
+    WITH {_band_cte(_SHINGLE_SQL, _NGRAM_BANDS, _NGRAM_ROWS, est_min)},
     t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents WHERE len({_SHINGLE_SQL}) > 0)
     SELECT doc_a, doc_b, {jac} AS jac
     FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
-    WHERE {jac} >= 0.5
+    WHERE {jac} >= {_NGRAM_T}
     """
 
 
 @register("doc_ngram_jaccard", _ngram_jaccard_oracle())
 def doc_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=_NGRAM_T,
+        bands=_NGRAM_BANDS,
+        rows_per_band=_NGRAM_ROWS,
+        est_slack=_NGRAM_SLACK,
+    )
 
 
 def _minhash_banded_oracle() -> str:

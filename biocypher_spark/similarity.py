@@ -149,15 +149,22 @@ def embedding_near_dup(
     Expected candidate volume per table ≈ N²/2^planes; with the cap it is
     ≤ N·max_bucket_size — linear in N, never quadratic.
     """
-    tbl_frames = []
-    for t in range(num_tables):
-        bucket = _bucket_expr(hyperplane_signs_md5(t, planes_per_table, dims), vec_col)
-        tbl_frames.append(
-            embeddings.select(F.col("vec_id"), F.lit(t).alias("tbl"), bucket.alias("bucket"))
+    # all T bucket ids in ONE projection + explode (a union of per-table
+    # selects would scan the source T times), then materialize the tiny
+    # (vec_id, tbl, bucket) table: it feeds the size histogram AND both
+    # sides of the candidate self-join
+    tbl_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_expr(hyperplane_signs_md5(t, planes_per_table, dims), vec_col).alias("bucket"),
         )
-    assigned = tbl_frames[0]
-    for fr in tbl_frames[1:]:
-        assigned = assigned.unionByName(fr)
+        for t in range(num_tables)
+    ]
+    assigned = (
+        embeddings.select("vec_id", F.explode(F.array(*tbl_structs)).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .localCheckpoint()
+    )
     # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
     ok_buckets = (
         assigned.groupBy("tbl", "bucket")

@@ -101,6 +101,7 @@ def minhash_band_candidates(
     bands: int = 4,
     rows_per_band: int = 3,
     elements: Column | None = None,
+    est_min_matches: int = 0,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: ``bands`` × ``rows_per_band`` minhash
     signature; a pair is a candidate when ANY band (the concat of its
@@ -109,25 +110,55 @@ def minhash_band_candidates(
     Scale: each band key is a 3×32-hex concat, so the per-band self-join is
     a hash join on a short string with bucket sizes bounded by true
     similarity structure; candidates are deduped across bands before the
-    (more expensive) exact verification.
+    (more expensive) exact verification. With ``est_min_matches`` > 0 each
+    band row also carries the full signature vector and pairs whose
+    signature agreement (an unbiased Jaccard estimate) falls below
+    ``est_min_matches``/seeds are dropped BEFORE the dedup+verify join —
+    the two-tier verify that keeps the expensive element arrays off the
+    candidate shuffle.
     """
     seeds = bands * rows_per_band
-    sigs = df.select("doc_id", *minhash_signature(F.col(text_col), seeds=seeds, elements=elements))
-    frames = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)])
-        frames.append(sigs.select("doc_id", F.lit(b).alias("band"), key.alias("bkey")))
-    assigned = frames[0]
-    for fr in frames[1:]:
-        assigned = assigned.unionByName(fr)
-    a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"))
-    c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(c, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # materialize the element array ONCE per row (separate projection):
+    # embedding the (expensive) shingle/token expression into each of the
+    # b*r signature expressions would recompute it per seed
+    elem_col = elements if elements is not None else tokens(F.col(text_col))
+    base = df.select("doc_id", elem_col.alias("_elems"))
+    sigs = base.select("doc_id", *minhash_signature(F.col(text_col), seeds=seeds, elements=F.col("_elems")))
+    # band assignment as ONE explode (single scan / single sig computation),
+    # not a union of per-band selects that would each recompute the sigs; the
+    # tiny (doc_id, band, bkey) table is then materialized so the candidate
+    # self-join's two sides don't recompute the signatures either
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    sig_vec = F.array(*[F.col(f"sig{i}") for i in range(seeds)])
+    carry = [sig_vec.alias("sigv")] if est_min_matches > 0 else []
+    assigned = (
+        sigs.select("doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", *(["sigv"] if carry else []), F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .localCheckpoint()
     )
+    a_cols = ["band", "bkey", F.col("doc_id").alias("doc_a")] + ([F.col("sigv").alias("_sa")] if carry else [])
+    c_cols = ["band", "bkey", F.col("doc_id").alias("doc_b")] + ([F.col("sigv").alias("_sb")] if carry else [])
+    a = assigned.select(*a_cols)
+    c = assigned.select(*c_cols)
+    pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
+    if est_min_matches > 0:
+        agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v))
+        pairs = pairs.filter(agree >= est_min_matches)
+    return pairs.select("doc_a", "doc_b").distinct()
+
+
+def _est_min_matches(threshold: float, est_slack: float, seeds: int) -> int:
+    import math
+
+    return max(0, math.ceil((threshold - est_slack) * seeds)) if est_slack is not None else 0
 
 
 def minhash_banded_pairs(
@@ -136,10 +167,14 @@ def minhash_banded_pairs(
     threshold: float = 0.5,
     bands: int = 4,
     rows_per_band: int = 3,
+    est_slack: float | None = None,
 ) -> DataFrame:
     """Token-set near-dup pairs: banded-minhash candidates, exact Jaccard
-    re-verification >= threshold. Returns (doc_a, doc_b, jac)."""
-    cand = minhash_band_candidates(df, text_col, bands, rows_per_band)
+    re-verification >= threshold. With ``est_slack`` set, candidates whose
+    signature-agreement Jaccard estimate is below threshold - est_slack are
+    pruned before the exact array join. Returns (doc_a, doc_b, jac)."""
+    emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
+    cand = minhash_band_candidates(df, text_col, bands, rows_per_band, est_min_matches=emm)
     toks = F.array_distinct(F.array_sort(tokens(F.col(text_col))))
     base = df.select("doc_id", toks.alias("toks"))
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
@@ -157,19 +192,19 @@ def minhash_banded_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over the token multiset: bit i set when the sum of ±1 votes
-    from md5-derived token bits is >= 0. Returns (doc_id, simhash)."""
-    toks = tokens(F.col(text_col))
+    from md5-derived token bits is >= 0. Returns (doc_id, simhash).
+    Token md5s are materialized once (see simhash64)."""
+    hexes = F.transform(tokens(F.col(text_col)), lambda t: F.md5(t))
+    base = df.select("doc_id", hexes.alias("_hx"))
+
+    def voter(pos: int, shift: int):
+        return lambda acc, h: acc + _vote_from_hex(h, pos, shift)
+
     total = F.lit(0)
     for i in range(bits):
-        pos = i // 4 + 1
-        shift = 3 - i % 4
-        def vote(t, pos=pos, shift=shift):
-            digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), pos, 1)) - 1
-            bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
-            return bit * 2 - 1
-        s = F.aggregate(toks, F.lit(0), lambda acc, t: acc + vote(t))
+        s = F.aggregate(F.col("_hx"), F.lit(0), voter(i // 4 + 1, 3 - i % 4))
         total = total + F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.select("doc_id", total.alias("simhash"))
+    return base.select("doc_id", total.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -179,16 +214,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     bands: int = 4,
     rows_per_band: int = 3,
+    est_slack: float | None = None,
 ) -> DataFrame:
     """Character n-gram (shingle) Jaccard near-dup pairs.
 
     Candidates come from banded minhash over the shingle sets (OR across
     bands) — bounded by similarity structure, never by an unbounded exact
     block key like (lang, length) whose hot blocks degenerate to all-pairs.
-    Survivors are exactly re-scored on the full shingle sets.
+    With ``est_slack`` set, the signature-agreement estimate prunes
+    candidates below threshold - est_slack before the exact join, keeping
+    the (large) shingle arrays off the candidate shuffle. Survivors are
+    exactly re-scored on the full shingle sets.
     """
     sh = shingles(F.col(text_col), n)
-    cand = minhash_band_candidates(df, text_col, bands, rows_per_band, elements=sh)
+    emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
+    cand = minhash_band_candidates(df, text_col, bands, rows_per_band, elements=sh, est_min_matches=emm)
     base = df.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
@@ -215,25 +255,43 @@ def _simhash_vote(t: Column, pos: int, shift: int) -> Column:
     return bit * 2 - 1
 
 
+def _vote_from_hex(h: Column, pos: int, shift: int) -> Column:
+    """±1 vote from a PRE-COMPUTED md5 hex string (md5 hoisted out of the
+    per-bit aggregates: hashing each token once instead of once per bit is
+    a 64x md5 saving for simhash64)."""
+    digit = F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
+    bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
+    return bit * 2 - 1
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over the token multiset, emitted as a 16-char hex
     string (hex avoids the signed-bigint overflow of bit 63 and is
     engine-portable). Bit i (nibble k = i//4, bit j = i%4 within the nibble)
-    is set when the ±1 votes from md5 hex digit k+1 sum >= 0."""
-    toks = tokens(F.col(text_col))
+    is set when the ±1 votes from md5 hex digit k+1 sum >= 0.
 
-    def voter(pos: int, shift: int):
-        return lambda acc, t: acc + _simhash_vote(t, pos, shift)
-
+    Shape: explode tokens -> md5 once per token -> ONE hash aggregate with
+    64 sum() expressions. Spark's higher-order-function lambdas evaluate
+    interpreted (outside whole-stage codegen), so 64 per-bit array
+    aggregates are ~6x slower than this exploded groupBy, whose partial
+    aggregation keeps the shuffle at 64 ints per doc."""
+    exploded = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("_t")).select(
+        "doc_id", F.md5("_t").alias("_h")
+    )
+    sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(_vote_from_hex(F.col("_h"), i // 4 + 1, 3 - i % 4)).alias(f"_s{i}")
+            for i in range(64)
+        ]
+    )
     nibbles = []
     for k in range(16):
         val = F.lit(0)
         for j in range(4):
             i = k * 4 + j
-            s = F.aggregate(toks, F.lit(0), voter(i // 4 + 1, 3 - i % 4))
-            val = val + F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = val + F.when(F.col(f"_s{i}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         nibbles.append(F.substr(F.lit(_HEX), val + 1, F.lit(1)))
-    return df.select("doc_id", F.concat(*nibbles).alias("simhash64"))
+    return sums.select("doc_id", F.concat(*nibbles).alias("simhash64"))
 
 
 def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3, bands: int = 4) -> DataFrame:
@@ -246,15 +304,18 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
     identical expression in Spark and DuckDB, no bit_count dependency.
     Returns (doc_a, doc_b, hamming).
     """
-    sh = simhash64(df, text_col)
+    # the 64-bit hash is expensive (64 vote aggregates per row) and consumed
+    # by 2 + bands branches below — materialize the tiny (doc_id, hash) table
+    # once instead of recomputing it per branch
+    sh = simhash64(df, text_col).localCheckpoint()
     width = 16 // bands  # hex chars per band
-    frames = [
-        sh.select("doc_id", F.lit(b).alias("band"), F.substring("simhash64", b * width + 1, width).alias("bkey"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.substring("simhash64", b * width + 1, width).alias("bkey"))
         for b in range(bands)
     ]
-    assigned = frames[0]
-    for fr in frames[1:]:
-        assigned = assigned.unionByName(fr)
+    assigned = sh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
     a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"))
     cand = (

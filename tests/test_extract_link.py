@@ -134,3 +134,45 @@ def test_zero_shuffle_evidence_equivalence(spark, transcripts):
     base = extract_mentions(transcripts).select("conv_id", "turn_idx", "input_label", "surface", "m_pos")
     assert flat.exceptAll(base).count() == 0
     assert base.exceptAll(flat).count() == 0
+
+
+def test_canonicalize_local_matches_distributed(spark):
+    """The zero-Spark-job driver path must produce the identical canonical
+    map as the distributed blocking + scoring + CC path."""
+    import random
+
+    rng = random.Random(7)
+    surfaces = (
+        [f"prot{i}" for i in range(80)]
+        + [f"protein{i}" for i in range(80)]
+        + ["".join(rng.choice("abcdefghij") for _ in range(6)) for _ in range(200)]
+    )
+    mentions = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    local = {
+        r["nkey"]: r["canonical_id"]
+        for r in canonicalize(mentions, driver_cc_threshold=100_000).collect()
+    }
+    dist = {
+        r["nkey"]: r["canonical_id"]
+        for r in canonicalize(mentions, driver_cc_threshold=1).collect()
+    }
+    assert local == dist
+
+
+def test_canonicalize_local_hot_block_matches(spark):
+    """Digitless hot block (> max_block_size) reroutes through the prefix
+    filter identically on both paths."""
+    def word(i):
+        digits = [(i // 23**k) % 23 for k in range(3)]
+        return "s" + "".join(chr(97 + d) for d in digits)
+
+    mentions = spark.createDataFrame([(word(i),) for i in range(300)], "surface string")
+    local = {
+        r["nkey"]: r["canonical_id"]
+        for r in canonicalize(mentions, driver_cc_threshold=100_000, max_block_size=100).collect()
+    }
+    dist = {
+        r["nkey"]: r["canonical_id"]
+        for r in canonicalize(mentions, driver_cc_threshold=1, max_block_size=100).collect()
+    }
+    assert local == dist
