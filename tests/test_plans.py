@@ -81,3 +81,43 @@ def test_zero_shuffle_evidence_plan(spark):
         assert uses_broadcast_join(evidence)
     finally:
         grouped.unpersist()
+
+
+def test_simhash64_single_shuffle_codegen(spark):
+    """simhash64 = explode + ONE partial/final hash aggregate (map-side
+    combine: the shuffle carries 64 ints per doc, not exploded tokens), no
+    Python on the path."""
+    from biocypher_spark.plans import count_shuffles, plan_has
+    from biocypher_spark.textops import simhash64
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    df = simhash64(docs)
+    assert count_shuffles(df) == 1
+    assert plan_has(df, "HashAggregate")
+    assert not plan_has(df, "BatchEvalPython")
+
+
+def test_embedding_near_dup_plan_bounded(spark):
+    """Banded embedding near-dup: bucket-size cap joined as a BROADCAST (the
+    histogram is tiny), no cartesian product, no Python."""
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.similarity import embedding_near_dup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    df = embedding_near_dup(emb, threshold=0.5, num_tables=2, planes_per_table=2, dims=8)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the ok_buckets histogram side
+    assert "BatchEvalPython" not in plan
+
+
+def test_banded_candidates_no_python_no_cartesian(spark):
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.textops import minhash_band_candidates
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    plan = formatted_plan(minhash_band_candidates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -38,12 +38,21 @@ def main() -> None:
     mentions = extract_mentions_expr(transcripts)
     linked = link_mentions(mentions)
 
+    from biocypher_spark.queries import doc_ngram_jaccard, emb_near_dup
+    from biocypher_spark.textops import simhash64
+
+    sf = "/root/testdata/sf0.001"
     sections = {
         "Translate (broadcast join, no shuffle)": translated,
         "Dedup (single hash-partition window)": deduped,
         "Extraction (built-in regexp, codegen)": mentions,
         "Linking (blocked similarity join + broadcast map-back)": linked,
-        "Q3-style join (dimension broadcast)": q3_top_orders(spark, "/root/testdata/sf0.001"),
+        "Q3-style join (dimension broadcast)": q3_top_orders(spark, sf),
+        "Banded embedding near-dup (checkpointed bucket table, broadcast cap, exact re-score)": emb_near_dup(spark, sf),
+        "Shingle n-gram near-dup (banded minhash candidates + est prefilter + exact verify)": doc_ngram_jaccard(spark, sf),
+        "SimHash64 (explode + single 64-sum codegen hash aggregate)": simhash64(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ),
     }
     out = ["# PLANS — formatted physical plans of the hot-path stages\n"]
     out.append("Regenerate with `python tools/explain_plans.py`.\n")
