@@ -733,6 +733,66 @@ def emb_lsh_buckets(spark, sf_dir):
     return lsh_buckets(_t(spark, sf_dir, "embeddings"), num_planes=2, dims=_DIMS)
 
 
+_IVF_K = 4
+_IVF_NPROBE = 2
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)}) / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+def _ivf_cluster_sql(k: int = _IVF_K) -> tuple[str, str]:
+    """(joins, cluster CASE expr) for IVF assignment over alias ``e``."""
+    joins = " ".join(f"JOIN embeddings c{j} ON c{j}.vec_id = {j}" for j in range(k))
+    cos = [_cos_sql("e.embedding", f"c{j}.embedding") for j in range(k)]
+    g = "greatest(" + ", ".join(cos) + ")"
+    whens = " ".join(f"WHEN ({cos[j]}) = {g} THEN {j}" for j in range(k - 1))
+    cluster = f"CASE {whens} ELSE {k - 1} END"
+    return joins, cluster
+
+
+@register("emb_ivf_assign", None)
+def emb_ivf_assign(spark, sf_dir):
+    from .similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=_IVF_K)
+
+
+def _ivf_assign_oracle() -> str:
+    joins, cluster = _ivf_cluster_sql()
+    return f"SELECT e.vec_id, {cluster} AS cluster FROM embeddings e {joins}"
+
+
+ORACLES["emb_ivf_assign"] = _ivf_assign_oracle()
+
+
+def _ivf_topk_oracle(qid: int = 0, k: int = 10) -> str:
+    joins, cluster = _ivf_cluster_sql()
+    probe_rows = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cl, {_cos_sql('q.embedding', f'c{j}.embedding')} AS s "
+        f"FROM embeddings q {joins} WHERE q.vec_id = {qid}"
+        for j in range(_IVF_K)
+    )
+    cos_q = _cos_sql("e.embedding", "q.embedding")
+    return f"""
+    WITH probes AS (
+      SELECT cl FROM ({probe_rows}) ORDER BY s DESC, cl ASC LIMIT {_IVF_NPROBE}
+    )
+    SELECT e.vec_id, round({cos_q}, 6) AS cos
+    FROM embeddings e {joins} JOIN embeddings q ON q.vec_id = {qid}
+    WHERE ({cluster}) IN (SELECT cl FROM probes) AND e.vec_id != {qid}
+    ORDER BY ({cos_q}) DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("emb_ivf_topk", _ivf_topk_oracle())
+def emb_ivf_topk(spark, sf_dir):
+    from .similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE)
+
+
 _ND_TABLES = 4
 _ND_PLANES = 4
 _ND_CAP = 1000

@@ -125,6 +125,73 @@ def lsh_topk(
     )
 
 
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 4, vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its max-cosine centroid.
+
+    Centroids here are the ``n_centroids`` lowest-vec_id vectors — a
+    deterministic stand-in for trained k-means centroids (in production,
+    inject trained centroids; the assignment plan is identical). Centroids
+    are collected driver-side (k × dims floats) and inlined as literals, so
+    assignment is a single narrow projection over the corpus — no join, no
+    shuffle. Ties break to the lowest centroid id.
+    """
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select(vec_col).collect()
+    )
+    return embeddings.select("vec_id", _ivf_cluster_expr(cents, vec_col).alias("cluster"))
+
+
+def _ivf_cluster_expr(cents, vec_col: str) -> Column:
+    cos_cols = [
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row[0]])) for row in cents
+    ]
+    best = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+    expr = F.when(cos_cols[0] == best, F.lit(0))
+    for j in range(1, len(cos_cols)):
+        expr = expr.when(cos_cols[j] == best, F.lit(j))
+    return expr.otherwise(F.lit(len(cos_cols) - 1))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 4,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only the ``nprobe`` inverted lists closest to the
+    query. Probe selection runs on the (tiny) centroid set; the corpus scan
+    is pruned to the probed clusters before the exact cosine top-k."""
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()[0]
+    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select(vec_col).collect()
+    )
+    # rank centroids for the query INSIDE Spark arithmetic (same fold order
+    # as assignment) on a one-row frame, then collect the probe ids
+    spark = embeddings.sparkSession
+    one = spark.range(1)
+    probe_cols = [
+        cosine(qvec, F.array(*[F.lit(float(x)) for x in row[0]])).alias(f"c{j}")
+        for j, row in enumerate(cents)
+    ]
+    scores = one.select(*probe_cols).collect()[0]
+    probes = [j for j, _ in sorted(enumerate(scores), key=lambda js: (-js[1], js[0]))[:nprobe]]
+    # cluster as an inline expression: the probed-list restriction is a
+    # FILTER on the scan, not a join against a separate assignment table
+    cand = embeddings.filter(
+        _ivf_cluster_expr(cents, vec_col).isin(probes) & (F.col("vec_id") != query_vec_id)
+    )
+    cos = cosine(F.col(vec_col), qvec)
+    return (
+        cand.select("vec_id", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

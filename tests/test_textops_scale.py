@@ -172,3 +172,28 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_ivf_assign_and_topk(spark):
+    """IVF: every vector lands in its max-cosine centroid's list; topk over
+    the probed lists equals brute force restricted to those lists."""
+    import math
+
+    from biocypher_spark.similarity import cosine_topk, ivf_assign, ivf_topk
+
+    def vec(seed, dims=16):
+        return [math.sin(seed * 17 + i) for i in range(dims)]
+
+    rows = [(i, vec(i % 5)) for i in range(40)]  # 5 natural clusters
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign = {r["vec_id"]: r["cluster"] for r in ivf_assign(emb, n_centroids=4).collect()}
+    # identical vectors (same seed) share a cluster
+    for i in range(5, 40):
+        assert assign[i] == assign[i - 5]  # vec depends only on seed % 5
+    # probing ALL centroids == brute force
+    full = ivf_topk(emb, query_vec_id=7, k=5, n_centroids=4, nprobe=4).collect()
+    brute = cosine_topk(emb, query_vec_id=7, k=5).collect()
+    assert [(r["vec_id"], r["cos"]) for r in full] == [(r["vec_id"], r["cos"]) for r in brute]
+    # nprobe=1 returns only vectors from the query's own cluster
+    near = ivf_topk(emb, query_vec_id=7, k=5, n_centroids=4, nprobe=1).collect()
+    assert all(assign[r["vec_id"]] == assign[7] for r in near)
