@@ -13,6 +13,7 @@ from .model import edges_from_tuples, nodes_from_tuples
 from .ontology import NullOntology, Ontology
 from .pipeline import KGPipeline
 from .transcripts import generate_transcripts, read_transcripts
+from .workflow import SparkWorkflow, create_workflow
 from .translate import SparkTranslator
 
 __all__ = [
