@@ -44,6 +44,7 @@ HEADLINE = [
     "doc_simhash_near_dup",
     "doc_lang_id",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "emb_near_dup",
     "media_fingerprint",
     "q1_pricing_summary",
@@ -186,6 +187,10 @@ def main() -> None:
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
+    # warm-up: JVM codegen, parquet footers, Python workers — one-time costs
+    # that would otherwise be billed entirely to the first headline query
+    queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    queries["kg_translate_nodes"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
