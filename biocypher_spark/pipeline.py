@@ -158,64 +158,7 @@ class KGPipeline:
     # -- triple construction --------------------------------------------------
 
     def _build_tuples(self, linked: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Linked mentions -> staged node/edge tuple frames.
-
-        Node id = canonical id NAMESPACED by input label ("label:canon"):
-        canonicalize() merges surfaces label-agnostically, so without the
-        namespace one canonical id appearing under two labels would yield two
-        node rows with identical id AND identical content-hash SEQ — the
-        writer's first-wins window would then pick an arbitrary label. The
-        namespace makes ids collision-free and keeps inputs unique by
-        construction (the premise behind track_seen=False). Name =
-        lexicographically-first surface form of the cluster. Edges =
-        within-turn co-occurrence, aggregated with an evidence count
-        (`turns`), ids synthesized as src->tgt so edge dedup (D2) is a
-        no-op by construction.
-        """
-        ns_id = F.concat_ws(":", F.col("input_label"), F.col("canonical_id"))
-        nodes = (
-            linked.groupBy("canonical_id", "input_label")
-            .agg(F.min("surface").alias("name"))
-            .select(
-                ns_id.alias("id"),
-                "input_label",
-                F.map_from_arrays(F.array(F.lit("name")), F.array(_json_str(F.col("name")))).alias("props"),
-                F.xxhash64(ns_id).alias(SEQ),
-            )
-        )
-
-        from .linking import cooccurrence_pairs
-
-        pairs = cooccurrence_pairs(linked)
-        ns_a = F.concat_ws(":", F.col("la"), F.col("ca"))
-        ns_b = F.concat_ws(":", F.col("lb"), F.col("cb"))
-        pp = (
-            pairs.filter((F.col("la") == "protein") & (F.col("lb") == "protein"))
-            .groupBy(ns_a.alias("src"), ns_b.alias("tgt"))
-            .agg(F.count(F.lit(1)).alias("turns"))
-            .withColumn("input_label", F.lit("protein_protein"))
-        )
-        # orient protein -> disease regardless of canonical-id ordering
-        pd_pairs = pairs.filter(F.col("la") != F.col("lb"))
-        protein_first = F.col("la") == "protein"
-        pd_ = (
-            pd_pairs.select(
-                F.when(protein_first, ns_a).otherwise(ns_b).alias("src"),
-                F.when(protein_first, ns_b).otherwise(ns_a).alias("tgt"),
-            )
-            .groupBy("src", "tgt")
-            .agg(F.count(F.lit(1)).alias("turns"))
-            .withColumn("input_label", F.lit("protein_disease"))
-        )
-        edges = pp.unionByName(pd_).select(
-            F.concat("src", F.lit("_"), "tgt").alias("id"),
-            "src",
-            "tgt",
-            "input_label",
-            F.map_from_arrays(F.array(F.lit("turns")), F.array(F.col("turns").cast("string"))).alias("props"),
-            F.xxhash64("src", "tgt", "input_label").alias(SEQ),
-        )
-        return nodes, edges
+        return build_triple_tuples(linked)
 
     # -- run --------------------------------------------------------------------
 
@@ -294,3 +237,64 @@ class KGPipeline:
             lineage_path=lineage_path,
             counts=counts,
         )
+
+
+def build_triple_tuples(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Linked mentions -> staged node/edge tuple frames.
+
+    Node id = canonical id NAMESPACED by input label ("label:canon"):
+    canonicalize() merges surfaces label-agnostically, so without the
+    namespace one canonical id appearing under two labels would yield two
+    node rows with identical id AND identical content-hash SEQ — the
+    writer's first-wins window would then pick an arbitrary label. The
+    namespace makes ids collision-free and keeps inputs unique by
+    construction (the premise behind track_seen=False). Name =
+    lexicographically-first surface form of the cluster. Edges =
+    within-turn co-occurrence, aggregated with an evidence count
+    (`turns`), ids synthesized as src->tgt so edge dedup (D2) is a
+    no-op by construction.
+    """
+    ns_id = F.concat_ws(":", F.col("input_label"), F.col("canonical_id"))
+    nodes = (
+        linked.groupBy("canonical_id", "input_label")
+        .agg(F.min("surface").alias("name"))
+        .select(
+            ns_id.alias("id"),
+            "input_label",
+            F.map_from_arrays(F.array(F.lit("name")), F.array(_json_str(F.col("name")))).alias("props"),
+            F.xxhash64(ns_id).alias(SEQ),
+        )
+    )
+
+    from .linking import cooccurrence_pairs
+
+    pairs = cooccurrence_pairs(linked)
+    ns_a = F.concat_ws(":", F.col("la"), F.col("ca"))
+    ns_b = F.concat_ws(":", F.col("lb"), F.col("cb"))
+    pp = (
+        pairs.filter((F.col("la") == "protein") & (F.col("lb") == "protein"))
+        .groupBy(ns_a.alias("src"), ns_b.alias("tgt"))
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .withColumn("input_label", F.lit("protein_protein"))
+    )
+    # orient protein -> disease regardless of canonical-id ordering
+    pd_pairs = pairs.filter(F.col("la") != F.col("lb"))
+    protein_first = F.col("la") == "protein"
+    pd_ = (
+        pd_pairs.select(
+            F.when(protein_first, ns_a).otherwise(ns_b).alias("src"),
+            F.when(protein_first, ns_b).otherwise(ns_a).alias("tgt"),
+        )
+        .groupBy("src", "tgt")
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .withColumn("input_label", F.lit("protein_disease"))
+    )
+    edges = pp.unionByName(pd_).select(
+        F.concat("src", F.lit("_"), "tgt").alias("id"),
+        "src",
+        "tgt",
+        "input_label",
+        F.map_from_arrays(F.array(F.lit("turns")), F.array(F.col("turns").cast("string"))).alias("props"),
+        F.xxhash64("src", "tgt", "input_label").alias(SEQ),
+    )
+    return nodes, edges

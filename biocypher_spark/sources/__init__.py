@@ -2,7 +2,7 @@
 tables (Iceberg with parquet fallback), and the streaming reader."""
 
 from ..model import edges_from_tuples, nodes_from_tuples
-from ..streaming.stream import read_transcript_stream
+from ..streaming.stream import read_transcript_stream, stream_kg
 from ..transcripts import generate_transcripts, read_transcripts
 
 __all__ = [
@@ -10,5 +10,6 @@ __all__ = [
     "generate_transcripts",
     "nodes_from_tuples",
     "read_transcript_stream",
+    "stream_kg",
     "read_transcripts",
 ]

@@ -110,6 +110,83 @@ def _session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterato
     )
 
 
+def stream_kg(
+    spark: SparkSession,
+    input_path: str,
+    output_directory: str,
+    checkpoint_dir: str,
+    patterns: Optional[dict[str, str]] = None,
+    mapping: Optional[DataFrame] = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Incremental KG construction: streaming transcripts -> per-microbatch
+    extract -> link -> translate -> batch-writer append.
+
+    Each micro-batch flows through the SAME batch operators via
+    ``foreachBatch``; the batch writer's cross-call machinery supplies the
+    incremental semantics — part-file numbering continues across batches and
+    the persisted seen-id anti-join (``track_seen``) dedups node/edge ids
+    across batches, so replays/overlaps cannot double rows. Source progress
+    is exactly-once via the stream checkpoint.
+
+    Canonicalization note: cross-batch consistency requires the surface ->
+    canonical map to be batch-independent. Pass a precomputed ``mapping``
+    (e.g. from a batch canonicalize over history) to use it; without one,
+    each surface maps to its own normalized key (identity canonicalization),
+    which is deterministic across any batch split.
+
+    Returns the StreamingQuery (with ``available_now`` it drains the input
+    then stops).
+    """
+    from ..linking import link_mentions
+    from ..mapping import SchemaMapping
+    from ..ontology import NullOntology
+    from ..pipeline import DEFAULT_SCHEMA, DEFAULT_SCHEMA_DICT, build_triple_tuples
+    from ..translate import SparkTranslator
+    from ..writer.neo4j import Neo4jBatchWriter
+
+    import os
+
+    if os.path.exists(DEFAULT_SCHEMA):
+        schema_mapping = SchemaMapping(DEFAULT_SCHEMA)
+    else:
+        schema_mapping = SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
+    translator = SparkTranslator(spark, NullOntology(schema_mapping))
+    writer = Neo4jBatchWriter(
+        spark, translator, output_directory, strict_mode=False, validate_props=False,
+        ordered_parts=False, track_seen=True,
+    )
+    pats = patterns or DEFAULT_PATTERNS
+
+    def identity_mapping(mentions: DataFrame) -> DataFrame:
+        from ..extract import normalize_surface
+
+        nkey = normalize_surface(F.col("surface"))
+        return mentions.select(nkey.alias("nkey")).distinct().select(
+            "nkey", F.col("nkey").alias("canonical_id")
+        )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = stream_mentions(batch_df, pats)  # plain batch DF inside foreachBatch
+        if mentions.limit(1).count() == 0:
+            return
+        batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
+        linked = link_mentions(mentions, mapping=batch_mapping)
+        node_tuples, edge_tuples = build_triple_tuples(linked)
+        tn = translator.translate_nodes(node_tuples)
+        te = translator.translate_edges(edge_tuples)
+        writer.write_nodes(tn.nodes)
+        writer.write_edges(te)
+        writer.write_import_call()
+
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    builder = stream.writeStream.foreachBatch(handle_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        builder = builder.trigger(availableNow=True)
+    return builder.start()
+
+
 def conversation_sessions(transcripts: DataFrame, patterns: Optional[dict[str, str]] = None) -> DataFrame:
     """Stateful per-conversation aggregation (custom operator via
     ``applyInPandasWithState``): running turn count, mention count, and the

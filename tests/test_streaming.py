@@ -78,3 +78,58 @@ def test_stream_sessions_stateful(spark, stream_dir):
     }
     # every conversation's final state matches the batch turn count
     assert got == want
+
+
+def test_stream_kg_incremental(spark, stream_dir, tmp_path):
+    """End-to-end incremental KG: micro-batches through the batch operators
+    via foreachBatch; cross-batch node dedup via the writer's persisted
+    seen-id anti-join; part numbering continues across batches; stream
+    checkpoint makes a rerun a no-op."""
+    import glob
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    outdir = str(tmp_path / "kg_stream")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_kg(spark, stream_dir, outdir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    parts = sorted(glob.glob(os.path.join(outdir, "*-part*.csv")))
+    assert parts, "no part files written"
+    # node ids unique ACROSS all batches/files per label
+    by_label: dict = {}
+    for p in parts:
+        label = os.path.basename(p).split("-part")[0]
+        if label in ("INTERACTS_WITH", "LINKED_TO"):
+            continue
+        with open(p) as fh:
+            for line in fh:
+                nid = line.split(";")[0]
+                assert nid not in by_label.setdefault(label, set()), f"dup {nid} in {label}"
+                by_label[label].add(nid)
+    total_nodes = sum(len(v) for v in by_label.values())
+    assert total_nodes > 0
+    # the import call script exists and globs the labels
+    assert os.path.exists(os.path.join(outdir, "neo4j-admin-import-call.sh"))
+
+    # rerun with the SAME checkpoint: source offsets are committed -> no new parts
+    q2 = stream_kg(spark, stream_dir, outdir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert sorted(glob.glob(os.path.join(outdir, "*-part*.csv"))) == parts
+
+    # node set matches the identity-canonicalized batch path over the same data
+    from biocypher_spark.extract import extract_mentions_expr, normalize_surface
+    from biocypher_spark.linking import link_mentions
+
+    transcripts = spark.read.parquet(stream_dir)
+    mentions = extract_mentions_expr(transcripts)
+    ident = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct().select(
+        "nkey", F.col("nkey").alias("canonical_id")
+    )
+    linked = link_mentions(mentions, mapping=ident)
+    from biocypher_spark.pipeline import build_triple_tuples
+
+    node_tuples, _ = build_triple_tuples(linked)
+    want = {r["id"] for r in node_tuples.select("id").distinct().collect()}
+    got = set().union(*by_label.values())
+    assert got == want
