@@ -282,6 +282,18 @@ class BioCypherSpark:
         top = lambda d: dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:5])  # noqa: E731
         return {"top_node_types": top(nodes), "top_edge_types": top(edges)}
 
+    def download(self, *resources):
+        """Resource download/cache (reference ``BioCypher.download`` ->
+        Downloader, /root/reference/biocypher/_core.py + _get.py). Deliberate
+        skip (SURVEY §2 S2): this environment has no network access, and the
+        downloader is an out-of-engine utility — at cluster scale inputs
+        arrive as Iceberg/parquet tables, not ad-hoc HTTP fetches. Wire a
+        fetch-to-object-store step upstream instead."""
+        raise NotImplementedError(
+            "download() is deliberately unimplemented: no network in this "
+            "environment; stage inputs as Iceberg/parquet tables instead"
+        )
+
     # -- term translation (T9) --------------------------------------------------------------
 
     def translate_term(self, term: str):
