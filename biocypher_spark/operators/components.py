@@ -49,14 +49,30 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Return (node, component) with component = min node id in the cluster.
 
     ``edges`` may be directed; treated as undirected. Isolated nodes should
     be unioned in by the caller as self-loops if they must appear.
+
+    Below ``driver_threshold`` distinct symmetric edges the graph is
+    collected and resolved with the union-find fast path — one limited
+    collect replaces ~4 Spark jobs per propagation round (the same
+    validated trick as ``linking.canonicalize``). Set 0 to force the
+    distributed pointer-jumping propagation.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if driver_threshold:
+        head = sym.limit(driver_threshold).collect()
+        if len(head) < driver_threshold:
+            comp = connected_components_local([(r["a"], r["b"]) for r in head])
+            from pyspark.sql import types as T
+
+            node_type = sym.schema["a"].dataType
+            schema = T.StructType([T.StructField("node", node_type), T.StructField("comp", node_type)])
+            return edges.sparkSession.createDataFrame(sorted(comp.items()), schema)
     sym = sym.localCheckpoint()
 
     labels = (

@@ -161,7 +161,7 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)], "src string, dst string"
     )
-    comp = connected_components(edges, max_iter=25).collect()
+    comp = connected_components(edges, max_iter=25, driver_threshold=0).collect()
     assert len(comp) == 30
     assert {r["comp"] for r in comp} == {"n00"}
 
@@ -171,7 +171,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(29)], "src string, dst string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_threshold=0)
 
 
 def test_ivf_assign_and_topk(spark):
@@ -197,3 +197,23 @@ def test_ivf_assign_and_topk(spark):
     # nprobe=1 returns only vectors from the query's own cluster
     near = ivf_topk(emb, query_vec_id=7, k=5, n_centroids=4, nprobe=1).collect()
     assert all(assign[r["vec_id"]] == assign[7] for r in near)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{(i * 7) % 40:02d}") for i in range(40)] + [("x1", "x2")],
+        "src string, dst string",
+    )
+    fast = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    dist = {r["node"]: r["comp"] for r in connected_components(edges, driver_threshold=0).collect()}
+    assert fast == dist
+
+
+def test_near_dup_ops_on_empty_inputs(spark):
+    """Empty corpora: every near-dup operator returns an empty frame, no errors."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_banded_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert simhash_near_dup(docs).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup(emb, num_tables=2, planes_per_table=2).count() == 0
