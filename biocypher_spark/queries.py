@@ -617,18 +617,24 @@ def _minhash_banded_oracle() -> str:
         "round(len(list_intersect(a.toks, b.toks))::DOUBLE"
         " / len(list_distinct(list_concat(a.toks, b.toks))), 6)"
     )
+    # deterministic top-1000 slice: the raw pair set is output-bound (this
+    # synthetic corpus holds millions of true >=0.5 pairs at sf0.1), so the
+    # query bounds its result with a total order instead of collecting them all
     return f"""
     WITH {_band_cte("string_split(text, ' ')")},
     t AS (SELECT doc_id, list_distinct(list_sort(string_split(text, ' '))) AS toks FROM documents)
     SELECT doc_a, doc_b, {jac} AS jac
     FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
     WHERE {jac} >= 0.5
+    ORDER BY {jac} DESC, doc_a ASC, doc_b ASC
+    LIMIT 1000
     """
 
 
 @register("doc_minhash_banded", _minhash_banded_oracle())
 def doc_minhash_banded(spark, sf_dir):
-    return minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return pairs.orderBy(F.desc("jac"), F.asc("doc_a"), F.asc("doc_b")).limit(1000)
 
 
 def _lang_oracle() -> str:

@@ -69,6 +69,8 @@ def main():
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
