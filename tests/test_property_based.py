@@ -74,3 +74,54 @@ def test_json_scalar_encoding_roundtrip(s):
     arbitrary text (incl. quotes/newlines/unicode)."""
     encoded = json.dumps(s)
     assert json.loads(encoded) == s
+
+
+# -- PPJoin prefix-filter completeness (pure-python mirror, linking.py) -------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=2, max_size=8),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_completeness(keys):
+    """Prefix-filtering theorem: any pair with bigram-Jaccard >= t must share
+    at least one gram within each side's (n - ceil(t*n) + 1)-prefix under the
+    global frequency ordering — so every true pair is a candidate."""
+    from biocypher_spark.linking import _bigrams_py, _prefix_candidates_py
+
+    t = 0.35
+    cand = _prefix_candidates_py(sorted(keys), t)
+    for i, a in enumerate(sorted(keys)):
+        for b in sorted(keys)[i + 1 :]:
+            ga, gb = _bigrams_py(a), _bigrams_py(b)
+            union = len(ga | gb)
+            if union == 0:
+                continue
+            if len(ga & gb) / union >= t:
+                assert (a, b) in cand, f"true pair ({a!r}, {b!r}) missed by prefix filter"
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef0123", min_size=1, max_size=10),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_local_is_valid_partition(keys):
+    """canonicalize_local always returns a map whose values are cluster
+    minima and which is idempotent (canonical of canonical = canonical)."""
+    from biocypher_spark.linking import canonicalize_local
+
+    comp = canonicalize_local(keys)
+    for k in keys:
+        c = comp.get(k, k)
+        assert c <= k  # representative is the lexicographic min
+        assert comp.get(c, c) == c  # idempotent
