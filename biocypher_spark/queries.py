@@ -684,6 +684,35 @@ def doc_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _winnow_oracle(k: int = 5, window: int = 4) -> str:
+    from .textops import _WINNOW_BASE, _WINNOW_MOD
+
+    gram = " + ".join(
+        f"ascii(substr(text, i + {j}, 1)) * {_WINNOW_BASE ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             [({gram}) % {_WINNOW_MOD}
+              for i in generate_series(1, length(text) - {k - 1})] AS hashes
+      FROM documents WHERE length(text) >= {k + window - 1}
+    )
+    SELECT doc_id,
+           unnest(list_distinct([list_min(hashes[i:i + {window - 1}])
+                                 for i in generate_series(1, len(hashes) - {window - 1})])) AS fp
+    FROM h
+    """
+
+
+@register("doc_winnow_fingerprint", _winnow_oracle())
+def doc_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash k-gram, min-per-window) fingerprints — the
+    MOSS partial-overlap scheme (task brief: rolling-hash fingerprinting)."""
+    from .textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (similarity.py)
 # ---------------------------------------------------------------------------

@@ -378,3 +378,48 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 64-bit prefix of md5 (content-addressed id)."""
     return df.select("doc_id", F.substring(F.md5(text_col), 1, 16).alias("fp"))
+
+
+_WINNOW_BASE = 31
+_WINNOW_MOD = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash k-grams, min per
+    window — the MOSS scheme): robust partial-overlap detection, e.g. quote
+    or boilerplate reuse across documents.
+
+    Per document: polynomial hash of every k-char gram (base 31 mod 2^20),
+    then the minimum hash of each length-``window`` window of consecutive
+    gram hashes; the distinct selected minima are the fingerprint set,
+    emitted exploded as (doc_id, fp). Two documents sharing a substring of
+    length >= k + window - 1 are guaranteed to share a fingerprint.
+
+    All built-in expressions (sequence/transform/slice/array_min), so it
+    stays JVM-side, and the integer math replicates exactly in SQL.
+    """
+    # staged projections: each array (codes -> gram hashes -> window minima)
+    # is MATERIALIZED once per row before the next stage reads it — inlining
+    # the char-split into every per-gram term would re-split the text O(n*k)
+    # times per row (HOF lambdas evaluate interpreted)
+    base = df.filter(F.length(text_col) >= k + window - 1)
+    codes = base.select(
+        "doc_id", F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c)).alias("_codes")
+    )
+
+    def gram_hash(i):
+        total = F.lit(0)
+        for j in range(k):
+            total = total + F.element_at(F.col("_codes"), i + j) * (_WINNOW_BASE ** (k - 1 - j))
+        return total % _WINNOW_MOD
+
+    gram_idx = F.sequence(F.lit(1), F.size("_codes") - (k - 1))
+    hashed = codes.select("doc_id", F.transform(gram_idx, gram_hash).alias("_hashes"))
+    win_idx = F.sequence(F.lit(1), F.size("_hashes") - (window - 1))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(F.col("_hashes"), i, window)))
+    return hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))

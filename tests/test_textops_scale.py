@@ -217,3 +217,23 @@ def test_near_dup_ops_on_empty_inputs(spark):
     assert simhash_near_dup(docs).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_near_dup(emb, num_tables=2, planes_per_table=2).count() == 0
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint."""
+    from biocypher_spark.textops import winnow_fingerprints
+
+    shared = "the common boilerplate passage that was copied verbatim"
+    rows = [
+        (1, f"intro text one. {shared} and then more."),
+        (2, f"completely different opening. {shared} different close."),
+        (3, "no overlap whatsoever in this short document body here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+    # sanity: fingerprints are bounded ints
+    assert all(0 <= f < 1 << 20 for s in fps.values() for f in s)
