@@ -201,6 +201,46 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` producing a
+    width×height thumbnail per row. The pixel decode is the deterministic
+    stub codec (sha256-derived bytes, max 32 px); swap ``_thumb_bytes`` for
+    a real resampler (PIL ``Image.resize``) in production — the Spark-side
+    shape (schema, batching, one row per input) is the real contract."""
+    dim = min(width * height, 32)
+
+    def _thumb_bytes(content: bytes) -> list[int]:
+        digest = hashlib.sha256(bytes(content)).digest()
+        return [int(b) for b in digest[:dim]]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [_thumb_bytes(c) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def media_near_dup(media: DataFrame) -> DataFrame:
     """Exact content dedup by sha + feature-space near-dup via the shared
     similarity operators (composes with similarity.embedding_near_dup)."""

@@ -919,6 +919,36 @@ def media_fingerprint(spark, sf_dir):
     )
 
 
+def _media_resize_oracle(width: int = 4, height: int = 4) -> str:
+    dim = min(width * height, 32)
+    byte_terms = " + ".join(
+        f"(({_NIB.format(p=2 * i + 1)}) * 16 + ({_NIB.format(p=2 * i + 2)}))" for i in range(dim)
+    )
+    return f"""
+    SELECT 'm' || doc_id AS media_id, 'image' AS kind,
+           {width} AS width, {height} AS height,
+           {byte_terms} AS px_sum
+    FROM documents
+    """
+
+
+@register("media_resize", _media_resize_oracle())
+def media_resize(spark, sf_dir):
+    """Multimodal resize plumbing (mapInPandas thumbnails); the oracle
+    recomputes the stub codec's pixel-byte sum from sha256 hex."""
+    from .multimodal import media_from_documents, resize_media
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    resized = resize_media(media, width=4, height=4)
+    return resized.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.aggregate("thumb", F.lit(0), lambda acc, v: acc + v).alias("px_sum"),
+    )
+
+
 @register(
     "media_frame_sample",
     """

@@ -48,3 +48,18 @@ def test_media_exact_dedup(spark):
     groups = media_near_dup(dup).collect()
     assert len(groups) == 5
     assert all(g["n"] == 2 for g in groups)
+
+
+def test_resize_media_plumbing(spark):
+    from biocypher_spark.multimodal import resize_media, synthesize_media
+
+    media = synthesize_media(spark, 6, kind="image")
+    out = resize_media(media, width=4, height=4).collect()
+    assert len(out) == 6  # one row per input
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(r["thumb"]) == 16
+        assert all(0 <= px <= 255 for px in r["thumb"])
+    # deterministic: identical content -> identical thumbnail
+    again = {r["media_id"]: r["thumb"] for r in resize_media(media, 4, 4).collect()}
+    assert all(again[r["media_id"]] == r["thumb"] for r in out)
