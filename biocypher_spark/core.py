@@ -60,13 +60,19 @@ class BioCypherSpark:
         self._kg: Optional[InMemoryKG] = None
         self._online_writer = None
         self._missing: dict[str, int] = {}
+        self.downloader = None  # lazily a download.Downloader (S2)
 
     # -- lazy components -----------------------------------------------------
 
     @property
-    def writer(self) -> Neo4jBatchWriter:
+    def writer(self):
+        """Batch writer selected by ``dbms`` (reference ``get_writer``,
+        output/write/_get_writer.py:61-96)."""
         if self._writer is None:
-            self._writer = Neo4jBatchWriter(
+            from .writer.registry import get_writer
+
+            self._writer = get_writer(
+                self.dbms,
                 self.spark,
                 self.translator,
                 self.outdir,
@@ -106,8 +112,11 @@ class BioCypherSpark:
             return True
         out = self.translator.translate_nodes(staged)
         self._accumulate_missing(out.missing)
-        self.writer.batch_size = int(batch_size)
-        return self.writer.write_nodes(out.nodes, force=force)
+        w = self.writer
+        if isinstance(w, Neo4jBatchWriter):
+            w.batch_size = int(batch_size)
+            return w.write_nodes(out.nodes, force=force)
+        return bool(w.write_nodes(out.nodes))
 
     def write_edges(self, entities, batch_size: int = int(1e6)) -> bool:
         staged, _ = self._stage(entities, "edge")
@@ -115,8 +124,18 @@ class BioCypherSpark:
             return True
         out = self.translator.translate_edges(staged)
         self._accumulate_missing(out.missing)
-        self.writer.batch_size = int(batch_size)
-        return self.writer.write_edges(out)
+        w = self.writer
+        if isinstance(w, Neo4jBatchWriter):
+            w.batch_size = int(batch_size)
+            return w.write_edges(out)
+        # DataFrame-interface sinks (RDF/OWL/BioPathNet): rel-as-node helper
+        # entities are flattened in (the batch family rebuilds them itself)
+        edges = out.edges if out.ran_edges is None else out.edges.unionByName(out.ran_edges)
+        if out.ran_nodes is not None:
+            from .translate import RAN_HIDDEN_COLS
+
+            w.write_nodes(out.ran_nodes.drop(*RAN_HIDDEN_COLS))
+        return bool(w.write_edges(edges))
 
     def write_import_call(self) -> str:
         return self.writer.write_import_call()
@@ -283,16 +302,17 @@ class BioCypherSpark:
         return {"top_node_types": top(nodes), "top_edge_types": top(edges)}
 
     def download(self, *resources):
-        """Resource download/cache (reference ``BioCypher.download`` ->
-        Downloader, /root/reference/biocypher/_core.py + _get.py). Deliberate
-        skip (SURVEY §2 S2): this environment has no network access, and the
-        downloader is an out-of-engine utility — at cluster scale inputs
-        arrive as Iceberg/parquet tables, not ad-hoc HTTP fetches. Wire a
-        fetch-to-object-store step upstream instead."""
-        raise NotImplementedError(
-            "download() is deliberately unimplemented: no network in this "
-            "environment; stage inputs as Iceberg/parquet tables instead"
-        )
+        """Resource download/cache (S2; reference ``BioCypher.download`` ->
+        Downloader, _core.py + _get.py:103-176). The transport is injectable
+        (no network in this sandbox; at cluster scale inputs arrive as
+        Iceberg/parquet tables and fetching stays a driver-side utility):
+        set ``bc.downloader = Downloader(cache_dir, fetcher=...)`` to control
+        transport, else the stdlib urllib default is used."""
+        from .download import Downloader
+
+        if self.downloader is None:
+            self.downloader = Downloader()
+        return self.downloader.download(*resources)
 
     # -- term translation (T9) --------------------------------------------------------------
 

@@ -95,3 +95,54 @@ def test_duplicate_logging(bc):
     bc.write_nodes(protein_nodes(2) + protein_nodes(2))
     dups = bc.writer.get_duplicate_nodes()
     assert {r["dup_id"] for r in dups.collect()} == {"p1", "p2"}
+
+
+def test_dbms_registry_owl(spark, schema_path, tmp_path):
+    """dbms routing (reference _get_writer.py DBMS_TO_CLASS): the facade can
+    drive the OWL sink end-to-end."""
+    bc = BioCypherSpark(
+        spark, dbms="owl", output_directory=str(tmp_path), schema_config_path=schema_path
+    )
+    assert bc.write_nodes(protein_nodes(2))
+    assert bc.write_edges(perturbed_edges(3)[1:])
+    owl = open(tmp_path / "biocypher.nt").read()
+    assert "owl#NamedIndividual" in owl
+    assert "edge_source" in owl  # Association default
+
+
+def test_dbms_registry_postgres(spark, schema_path, tmp_path):
+    bc = BioCypherSpark(
+        spark, dbms="postgresql", output_directory=str(tmp_path), schema_config_path=schema_path
+    )
+    assert bc.write_nodes(protein_nodes(2))
+    assert os.path.isfile(tmp_path / "protein-create_table.sql")
+
+
+def test_dbms_registry_errors(spark, schema_path, tmp_path):
+    bc = BioCypherSpark(
+        spark, dbms="networkx", output_directory=str(tmp_path), schema_config_path=schema_path
+    )
+    with pytest.raises(ValueError, match="to_networkx"):
+        bc.writer
+    bc2 = BioCypherSpark(
+        spark, dbms="mongodb", output_directory=str(tmp_path), schema_config_path=schema_path
+    )
+    with pytest.raises(ValueError, match="unknown dbms"):
+        bc2.writer
+
+
+def test_facade_download(bc, tmp_path):
+    from biocypher_spark.download import Downloader, FileDownload
+
+    fetched = []
+
+    def fake_fetch(url, dest):
+        fetched.append(url)
+        with open(dest, "w") as f:
+            f.write("x")
+
+    bc.downloader = Downloader(cache_dir=str(tmp_path / "dlcache"), fetcher=fake_fetch)
+    paths = bc.download(FileDownload("r", "http://x/y.txt"))
+    assert len(paths) == 1 and fetched == ["http://x/y.txt"]
+    bc.download(FileDownload("r", "http://x/y.txt"))
+    assert len(fetched) == 1  # cached
