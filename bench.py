@@ -145,40 +145,56 @@ def run_scaling(n_turns: int) -> dict:
     """Identical job + identical parquet input at N and 4N cores, separate
     JVMs; efficiency = (T_4N / T_N) / 4 (BASELINE.md protocol).
 
-    Repeats are INTERLEAVED across the two levels (N, 4N, N, 4N, ...): the
-    shared host's throughput drifts on ~10-minute timescales, and running
-    all N repeats before all 4N repeats lets that drift masquerade as (anti-)
-    scaling. Interleaving exposes both levels to the same host conditions;
-    best-of-repeats per level then cancels transient contention.
+    The two levels are measured in PAIRED rounds (N then 4N back-to-back,
+    repeated): the shared host's throughput drifts on ~10-minute timescales,
+    and running all N repeats before all 4N repeats lets that drift
+    masquerade as (anti-)scaling. Pairing exposes both levels of a round to
+    the same host conditions; the selection rule below picks the round least
+    distorted in the direction that would overstate scaling.
     """
     lo, hi = SCALING_CORES
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     out: dict = {"cores": [lo, hi], "turns": n_turns, "repeats": repeats, "interleaved": True}
     import shutil as _shutil
 
-    best: dict[int, dict] = {}
+    def run_worker(cores: int):
+        # CPU pinning: without taskset, local[N] undercounts resources
+        # (the N task slots don't include Python workers / GC / driver
+        # threads), inflating low-N throughput and understating the
+        # true N -> 4N ratio
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
+        proc = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                return json.loads(line.removeprefix("SCALING_RESULT "))
+        return None
+
+    # PAIRED rounds: the shared host's capacity drifts on ~10-minute
+    # timescales, so each round runs N then 4N back-to-back and yields its
+    # own efficiency estimate. The reported round is the one with the
+    # FASTEST N-core baseline — i.e. the quietest window for the level whose
+    # contention INFLATES the ratio (a slowed 2-core run manufactures
+    # superlinear "efficiency"; a slowed 8-core run only understates it, the
+    # conservative direction). Every round is reported for honesty.
+    rounds = []
     for _ in range(repeats):
-        for cores in (lo, hi):
-            # CPU pinning: without taskset, local[N] undercounts resources
-            # (the N task slots don't include Python workers / GC / driver
-            # threads), inflating low-N throughput and understating the
-            # true N -> 4N ratio
-            pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
-            proc = subprocess.run(
-                pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("SCALING_RESULT "):
-                    stats = json.loads(line.removeprefix("SCALING_RESULT "))
-                    if cores not in best or stats["turns_per_sec"] > best[cores]["turns_per_sec"]:
-                        best[cores] = stats
-    for cores, stats in best.items():
-        out[f"local{cores}"] = stats
-    if lo in best and hi in best:
-        out["efficiency"] = round((best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo), 3)
+        s_lo = run_worker(lo)
+        s_hi = run_worker(hi)
+        if s_lo and s_hi:
+            eff = round((s_hi["turns_per_sec"] / s_lo["turns_per_sec"]) / (hi / lo), 3)
+            rounds.append({"lo": s_lo, "hi": s_hi, "efficiency": eff})
+    if rounds:
+        best = max(rounds, key=lambda r: r["lo"]["turns_per_sec"])
+        out[f"local{lo}"] = best["lo"]
+        out[f"local{hi}"] = best["hi"]
+        out["efficiency"] = best["efficiency"]
+        out["efficiency_rounds"] = [r["efficiency"] for r in rounds]
+        out["selection"] = "round with fastest N-core baseline (conservative)"
     return out
 
 

@@ -74,6 +74,7 @@ class PipelineResult:
     duplicate_edges: Optional[DataFrame]
     lineage_path: str
     counts: dict = field(default_factory=dict)
+    metrics_path: str = ""
 
     def triples(self) -> DataFrame:
         """(subj, pred, obj) view of the constructed graph."""
@@ -147,6 +148,16 @@ class KGPipeline:
         for r in rows:
             self._lineage_rows.append((stage, f"bucket={r['bucket']}", "done", r["count"], int(time.time())))
 
+    def _flush_metrics(self, counts: dict, stage_secs: dict) -> str:
+        """Metrics table (north rule: lineage + metrics tables): one row per
+        (metric, value) — row counts per stage plus wall seconds per stage."""
+        rows = [(f"rows_{k}", float(v)) for k, v in counts.items()]
+        rows += [(f"sec_{k}", round(float(v), 3)) for k, v in stage_secs.items()]
+        path = os.path.join(self.run_dir, "metrics")
+        df = self.spark.createDataFrame(rows, "metric string, value double")
+        df.withColumn("ts", F.current_timestamp()).coalesce(1).write.mode("overwrite").parquet(path)
+        return path
+
     def _flush_lineage(self) -> str:
         path = os.path.join(self.run_dir, "lineage")
         df = self.spark.createDataFrame(
@@ -163,6 +174,8 @@ class KGPipeline:
     # -- run --------------------------------------------------------------------
 
     def run(self, transcripts: DataFrame, resume: bool = False, patterns: Optional[dict] = None) -> PipelineResult:
+        stage_secs: dict[str, float] = {}
+        t0 = time.time()
         if resume and self._is_done("mentions"):
             mentions = self.spark.read.parquet(self._stage_path("mentions"))
         else:
@@ -170,14 +183,18 @@ class KGPipeline:
             mentions = fn(transcripts, patterns)
             mentions = self._checkpoint("mentions", mentions, resume)
         self._record_lineage("mentions", mentions)
+        stage_secs["mentions"] = time.time() - t0
 
+        t0 = time.time()
         if resume and self._is_done("linked"):
             linked = self.spark.read.parquet(self._stage_path("linked"))
         else:
             linked = link_mentions(mentions, self.link_threshold)
             linked = self._checkpoint("linked", linked, resume)
         self._record_lineage("linked", linked)
+        stage_secs["linked"] = time.time() - t0
 
+        t0 = time.time()
         node_tuples, edge_tuples = self._build_tuples(linked)
 
         tn = self.translator.translate_nodes(node_tuples)
@@ -221,12 +238,14 @@ class KGPipeline:
         self._record_lineage("nodes", nodes, key_col="node_id")
         self._record_lineage("edges", edges, key_col="source_id")
         lineage_path = self._flush_lineage()
+        stage_secs["write"] = time.time() - t0
 
         counts = {
             "mentions": mentions.count(),
             "nodes": nodes.count(),
             "edges": edges.count(),
         }
+        metrics_path = self._flush_metrics(counts, stage_secs)
         return PipelineResult(
             nodes=nodes,
             edges=edges,
@@ -236,6 +255,7 @@ class KGPipeline:
             duplicate_edges=writer.get_duplicate_edges(),
             lineage_path=lineage_path,
             counts=counts,
+            metrics_path=metrics_path,
         )
 
 

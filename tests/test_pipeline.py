@@ -56,6 +56,16 @@ def test_lineage_written(result, spark):
     assert lineage.filter(F.col("rows") > 0).count() > 0
 
 
+def test_metrics_table_written(result, spark):
+    res, _ = result
+    metrics = spark.read.parquet(res.metrics_path)
+    names = {r["metric"] for r in metrics.select("metric").collect()}
+    assert {"rows_mentions", "rows_nodes", "rows_edges"} <= names
+    assert any(n.startswith("sec_") for n in names)
+    rows_nodes = metrics.filter(F.col("metric") == "rows_nodes").head()["value"]
+    assert rows_nodes == res.counts["nodes"]
+
+
 def test_resume_skips_stages(spark, tmp_path):
     outdir = str(tmp_path / "kg2")
     transcripts = generate_transcripts(spark, 500)
