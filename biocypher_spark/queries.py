@@ -36,7 +36,16 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # a small single-split file would run CPU-heavy per-row work (shingle
+    # minhash, simhash votes, embedding math) on ONE core; rebalance rows to
+    # the cluster width. At scale inputs arrive in thousands of splits and
+    # this is a no-op — the guard only fixes the small-file/CPU-bound
+    # mismatch, it never adds a shuffle to an already-parallel scan.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _epoch(c: F.Column) -> F.Column:
@@ -541,18 +550,22 @@ _ROWS_PER_BAND = 3
 
 
 def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, est_min: int = 0) -> str:
-    """CTEs 'sigs' + 'bands' + 'cand' for banded-minhash candidate pairs over
-    the element-list SQL expression (mirrors minhash_band_candidates). With
-    ``est_min`` > 0 the candidate CTE also applies the signature-agreement
-    prefilter (>= est_min matching sigs of bands*rows)."""
+    """CTEs 'hashed' + 'sigs' + 'bands' + 'cand' for banded-minhash candidate
+    pairs over the element-list SQL expression (mirrors
+    minhash_band_candidates: one 32-bit md5-derived hash per element, then
+    the shared (a,b) affine family per seed). With ``est_min`` > 0 the
+    candidate CTE also applies the signature-agreement prefilter
+    (>= est_min matching sigs of bands*rows)."""
+    from .textops import _MINHASH_PRIME, minhash_affine_params
+
     seeds = bands * rows
     sig_cols = ",\n             ".join(
-        f"list_aggregate(list_transform({elem_sql}, x -> md5('{s}' || x)), 'min') AS sig{s}"
-        for s in range(seeds)
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_PRIME}), 'min') AS sig{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(seeds))
     )
     band_rows = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
-            b=b, key=" || '|' || ".join(f"sig{b * rows + r}" for r in range(rows))
+            b=b, key=" || '|' || ".join(f"sig{b * rows + r}::VARCHAR" for r in range(rows))
         )
         for b in range(bands)
     )
@@ -562,7 +575,10 @@ def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, es
         est_join = "JOIN sigs sa ON sa.doc_id = x.doc_id JOIN sigs sb ON sb.doc_id = y.doc_id"
         est_where = f"AND ({agree}) >= {est_min}"
     return f"""
-    sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+    hashed AS (SELECT doc_id,
+      list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
     bands AS ({band_rows}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

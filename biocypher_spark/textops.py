@@ -95,6 +95,26 @@ def minhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sigs.select("doc_id", F.min("doc_id").over(w).alias("rep_id"))
 
 
+_MINHASH_PRIME = 4294967311  # smallest prime above 2^32
+
+
+def minhash_affine_params(seeds: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal-hash family
+    ``(a*h + b) mod p`` over 32-bit element hashes; ``a`` odd and < 2^31 so
+    ``a*h + b`` stays inside a signed 64-bit integer. Shared with the DuckDB
+    oracle builder so both engines compute identical signatures."""
+    return [
+        (((2654435761 * (i + 1)) % 2147483647) | 1, (40503 * (i + 7)) % _MINHASH_PRIME)
+        for i in range(seeds)
+    ]
+
+
+def element_hash32(t: Column) -> Column:
+    """Engine-portable 32-bit element hash: first 8 hex digits of md5
+    (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+
 def minhash_band_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -107,23 +127,42 @@ def minhash_band_candidates(
     signature; a pair is a candidate when ANY band (the concat of its
     ``rows_per_band`` sig values) matches — the classic b×r OR-of-ANDs.
 
-    Scale: each band key is a 3×32-hex concat, so the per-band self-join is
-    a hash join on a short string with bucket sizes bounded by true
-    similarity structure; candidates are deduped across bands before the
-    (more expensive) exact verification. With ``est_min_matches`` > 0 each
-    band row also carries the full signature vector and pairs whose
-    signature agreement (an unbiased Jaccard estimate) falls below
-    ``est_min_matches``/seeds are dropped BEFORE the dedup+verify join —
-    the two-tier verify that keeps the expensive element arrays off the
-    candidate shuffle.
+    Signatures use the datasketch-style universal-hash family: each element
+    is md5-hashed ONCE to a 32-bit int, then every seed is a cheap
+    ``min((a_i*h + b_i) mod p)`` — b*r md5 evaluations per element (the
+    round-1 scheme) made 24-seed shingle signatures the slowest headline
+    query; one hash + affine transforms is ~5x faster at equal LSH quality.
+
+    Scale: each band key is a short concat, so the per-band self-join is a
+    hash join with bucket sizes bounded by true similarity structure;
+    candidates are deduped across bands before the (more expensive) exact
+    verification. With ``est_min_matches`` > 0 each band row also carries
+    the full signature vector and pairs whose signature agreement (an
+    unbiased Jaccard estimate) falls below ``est_min_matches``/seeds are
+    dropped BEFORE the dedup+verify join — the two-tier verify that keeps
+    the expensive element arrays off the candidate shuffle.
     """
     seeds = bands * rows_per_band
-    # materialize the element array ONCE per row (separate projection):
-    # embedding the (expensive) shingle/token expression into each of the
-    # b*r signature expressions would recompute it per seed
+    # materialize the element array, then the per-element 32-bit hashes, as
+    # SEPARATE projections: embedding either expression into each of the
+    # b*r signature expressions would recompute it per seed (CollapseProject
+    # keeps multi-consumer non-cheap producer projections apart)
     elem_col = elements if elements is not None else tokens(F.col(text_col))
-    base = df.select("doc_id", elem_col.alias("_elems"))
-    sigs = base.select("doc_id", *minhash_signature(F.col(text_col), seeds=seeds, elements=F.col("_elems")))
+    hashed = df.select(
+        "doc_id",
+        F.transform(elem_col, element_hash32).alias("_h"),
+    )
+
+    def affine(a: int, b: int):
+        return lambda h: (h * a + b) % _MINHASH_PRIME
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("_h", affine(a, b))).alias(f"sig{i}")
+            for i, (a, b) in enumerate(minhash_affine_params(seeds))
+        ],
+    )
     # band assignment as ONE explode (single scan / single sig computation),
     # not a union of per-band selects that would each recompute the sigs; the
     # tiny (doc_id, band, bkey) table is then materialized so the candidate
@@ -132,7 +171,11 @@ def minhash_band_candidates(
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                "|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"sig{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("bkey"),
         )
         for b in range(bands)
@@ -270,19 +313,34 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     engine-portable). Bit i (nibble k = i//4, bit j = i%4 within the nibble)
     is set when the ±1 votes from md5 hex digit k+1 sum >= 0.
 
-    Shape: explode tokens -> md5 once per token -> ONE hash aggregate with
-    64 sum() expressions. Spark's higher-order-function lambdas evaluate
-    interpreted (outside whole-stage codegen), so 64 per-bit array
-    aggregates are ~6x slower than this exploded groupBy, whose partial
-    aggregation keeps the shuffle at 64 ints per doc."""
+    Shape: explode tokens -> md5 once per token -> the first 16 hex digits
+    packed into TWO 32-bit ints (one conv each) -> ONE hash aggregate with
+    64 sum() expressions whose votes are shift/mask extractions of those
+    ints. Spark's higher-order-function lambdas evaluate interpreted
+    (outside whole-stage codegen), so 64 per-bit array aggregates are ~6x
+    slower than this exploded groupBy; extracting bits from packed ints
+    instead of 64 separate instr+substring digit decodes is another ~2x.
+    The emitted bits are identical to the digit-decode formulation (bit i =
+    bit ``3 - i%4`` of hex digit ``i//4 + 1``), which is what the DuckDB
+    oracle still computes."""
     exploded = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("_t")).select(
         "doc_id", F.md5("_t").alias("_h")
     )
-    sums = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(_vote_from_hex(F.col("_h"), i // 4 + 1, 3 - i % 4)).alias(f"_s{i}")
-            for i in range(64)
-        ]
+    packed = exploded.select(
+        "doc_id",
+        F.conv(F.substring("_h", 1, 8), 16, 10).cast("long").alias("_w0"),
+        F.conv(F.substring("_h", 9, 8), 16, 10).cast("long").alias("_w1"),
+    )
+
+    def vote(i: int) -> Column:
+        digit = i // 4 + 1  # 1-based hex digit position
+        shift = 3 - i % 4  # bit within the digit
+        word = F.col("_w0") if digit <= 8 else F.col("_w1")
+        offset = 4 * (8 - ((digit - 1) % 8) - 1) + shift
+        return F.shiftright(word, offset).bitwiseAND(F.lit(1)) * 2 - 1
+
+    sums = packed.groupBy("doc_id").agg(
+        *[F.sum(vote(i)).alias(f"_s{i}") for i in range(64)]
     )
     nibbles = []
     for k in range(16):
