@@ -3,8 +3,10 @@ construction engine with the capabilities of BioCypher (reference at
 /root/reference), applied to Iceberg/parquet tables of multi-turn agent
 transcripts. See SURVEY.md for the operator inventory this implements."""
 
+from .airr import AirrKG
 from .core import BioCypherSpark
 from .dedup import dedup_edges, dedup_nodes, dedup_rel_as_nodes
+from .download import APIRequest, Downloader, FileDownload, Resource
 from .extract import extract_mentions, extract_mentions_expr
 from .graph import SparkGraph
 from .linking import canonicalize, link_mentions
@@ -17,8 +19,13 @@ from .workflow import SparkWorkflow, create_workflow
 from .translate import SparkTranslator
 
 __all__ = [
+    "APIRequest",
+    "AirrKG",
     "BioCypherSpark",
+    "Downloader",
+    "FileDownload",
     "KGPipeline",
+    "Resource",
     "NullOntology",
     "Ontology",
     "SchemaMapping",
