@@ -257,9 +257,19 @@ def embedding_near_dup(
         .select("va", "vb")
         .distinct()
     )
-    ea = embeddings.select(F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"))
-    eb = embeddings.select(F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"))
-    cos = F.round(cosine(F.col("_ea"), F.col("_eb")), 6)
+    # precompute each vector's norm ONCE (N fold evaluations) instead of
+    # per candidate pair (2 per pair, and pairs >> N): the per-pair work
+    # drops to the dot product alone. cosine = dot/(na*nb) uses the exact
+    # same subexpressions as the inline formulation, so results (and the
+    # oracle hash) are bit-identical.
+    with_norm = embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_n"))
+    ea = with_norm.select(
+        F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"), F.col("_n").alias("_na")
+    )
+    eb = with_norm.select(
+        F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"), F.col("_n").alias("_nb")
+    )
+    cos = F.round(_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 6)
     return (
         cand.join(ea, "va")
         .join(eb, "vb")

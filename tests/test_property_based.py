@@ -125,3 +125,19 @@ def test_canonicalize_local_is_valid_partition(keys):
         c = comp.get(k, k)
         assert c <= k  # representative is the lexicographic min
         assert comp.get(c, c) == c  # idempotent
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_affine_params_bounds(seeds):
+    """The universal-hash constants must keep (a*h + b) inside a signed
+    64-bit integer for any 32-bit element hash h, with a odd (bijective mod
+    2^k) and below 2^31."""
+    from biocypher_spark.textops import _MINHASH_PRIME, minhash_affine_params
+
+    params = minhash_affine_params(seeds)
+    assert len(params) == len(set(params)) == seeds  # distinct hash functions
+    hmax = (1 << 32) - 1
+    for a, b in params:
+        assert 0 < a < (1 << 31) and a % 2 == 1
+        assert 0 <= b < _MINHASH_PRIME
+        assert a * hmax + b < (1 << 63)  # no bigint overflow in either engine
