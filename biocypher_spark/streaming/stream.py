@@ -62,6 +62,22 @@ def stream_mentions(transcripts: DataFrame, patterns: Optional[dict[str, str]] =
     return out
 
 
+def stream_exact_dedup(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each text
+    content hash seen within the watermark horizon.
+
+    The dedup state is keyed on ``md5(text)`` (a 32-byte key, not the text
+    itself) and bounded by the watermark — the batch reference's in-memory
+    seen-set has no streaming analogue at 10^12 rows, but a horizon-bounded
+    state store does. Uses ``dropDuplicatesWithinWatermark`` so late
+    duplicates inside the horizon are still dropped while state is evicted
+    past it."""
+    hashed = transcripts.withColumn("content_hash", F.md5("text")).withWatermark(
+        "ts", watermark
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
 def windowed_mention_counts(
     mentions: DataFrame,
     window: str = "10 minutes",

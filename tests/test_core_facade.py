@@ -146,3 +146,17 @@ def test_facade_download(bc, tmp_path):
     assert len(paths) == 1 and fetched == ["http://x/y.txt"]
     bc.download(FileDownload("r", "http://x/y.txt"))
     assert len(fetched) == 1  # cached
+
+
+def test_dbms_owl_rel_as_node_flattened(spark, schema_path, tmp_path):
+    """DataFrame-interface sinks receive rel-as-node helper nodes/edges
+    flattened in (the batch family rebuilds them itself)."""
+    bc = BioCypherSpark(
+        spark, dbms="owl", output_directory=str(tmp_path), schema_config_path=schema_path
+    )
+    assert bc.write_nodes(protein_nodes(3))
+    assert bc.write_edges(rel_as_node_edges(2))
+    owl = open(tmp_path / "biocypher.nt").read()
+    # reified relationship node instance + IS_SOURCE_OF/IS_TARGET_OF helpers
+    assert "i1" in owl
+    assert "IS_SOURCE_OF" in owl and "IS_TARGET_OF" in owl

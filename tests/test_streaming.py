@@ -133,3 +133,26 @@ def test_stream_kg_incremental(spark, stream_dir, tmp_path):
     want = {r["id"] for r in node_tuples.select("id").distinct().collect()}
     got = set().union(*by_label.values())
     assert got == want
+
+
+def test_stream_exact_dedup(spark, stream_dir):
+    from biocypher_spark.streaming.stream import stream_exact_dedup
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=2)
+    deduped = stream_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _run_to_completion(q)
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT content_hash) AS d FROM dedup_sink").head()
+        expected = (
+            spark.read.parquet(stream_dir).select(F.md5("text")).distinct().count()
+        )
+        # one row per distinct content hash, no duplicates emitted
+        assert got["n"] == got["d"] == expected
+    finally:
+        q.stop()
