@@ -82,7 +82,11 @@ class SparkGraph:
         _graph.py:347-376). Requires an edge-id column."""
         if id_col not in self.edges.columns:
             raise ValueError(f"edges have no '{id_col}' column; use remove_edges_between")
-        return SparkGraph(self.nodes, self.edges.filter(F.col(id_col) != edge_id), self.hyperedges)
+        # null-SAFE inequality: `!= id` evaluates to NULL for id-less rows
+        # (legal in mixed frames — a null relationship_id means a direct
+        # triple in the RDF writer) and a plain filter would drop them all
+        keep = ~F.col(id_col).eqNullSafe(edge_id)
+        return SparkGraph(self.nodes, self.edges.filter(keep), self.hyperedges)
 
     def remove_edges_between(self, src: str, dst: str) -> "SparkGraph":
         """Remove every edge from ``src`` to ``dst`` (id-less edge frames)."""

@@ -84,7 +84,12 @@ def candidate_pairs_guarded(
     bounded by rarest-bigram selectivity instead of block cardinality. Both
     branches emit (ka, kb); the union is distinct.
     """
-    blocked = surfaces.withColumn("_block", _cheap_block(key_col)).persist()
+    # localCheckpoint (eager), not persist(): the frame feeds the size
+    # histogram, both self-join sides, AND the big-block probe — a persist()
+    # released before the returned plan executes would leave all of those
+    # recomputing the blocking, and there is no hook to unpersist after the
+    # caller's action. The surface table is small (distinct surfaces).
+    blocked = surfaces.withColumn("_block", _cheap_block(key_col)).localCheckpoint()
     sizes = blocked.groupBy("_block").agg(F.count(F.lit(1)).alias("_bn"))
     tagged = blocked.join(sizes, "_block")
     small = tagged.filter(F.col("_bn") <= max_block_size)
@@ -94,9 +99,7 @@ def candidate_pairs_guarded(
     pairs = a.join(b, "_block").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
     if big.limit(1).count() > 0:
         pairs = pairs.unionByName(candidate_pairs_prefix(big, threshold))
-    out = pairs.distinct()
-    blocked.unpersist()
-    return out
+    return pairs.distinct()
 
 
 def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> DataFrame:

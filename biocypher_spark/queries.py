@@ -577,7 +577,7 @@ def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, es
     return f"""
     hashed AS (SELECT doc_id,
       list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-      FROM documents),
+      FROM documents WHERE len({elem_sql}) > 0),
     sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
     bands AS ({band_rows}),
     cand AS (

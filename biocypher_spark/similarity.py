@@ -141,10 +141,17 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 4, vec_col: str = "embe
     assignment is a single narrow projection over the corpus — no join, no
     shuffle. Ties break to the lowest centroid id.
     """
-    cents = (
-        embeddings.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select(vec_col).collect()
-    )
+    cents = _collect_centroids(embeddings, n_centroids, vec_col)
     return embeddings.select("vec_id", _ivf_cluster_expr(cents, vec_col).alias("cluster"))
+
+
+def _collect_centroids(embeddings: DataFrame, n_centroids: int, vec_col: str) -> list:
+    """The ``n_centroids`` lowest-vec_id vectors (TakeOrdered — no full
+    sort), independent of whether ids are dense or zero-based."""
+    cents = embeddings.orderBy("vec_id").limit(n_centroids).select(vec_col).collect()
+    if not cents:
+        raise ValueError("ivf: embeddings frame is empty, cannot derive centroids")
+    return cents
 
 
 def _ivf_cluster_expr(cents, vec_col: str) -> Column:
@@ -169,11 +176,11 @@ def ivf_topk(
     """IVF ANN: score only the ``nprobe`` inverted lists closest to the
     query. Probe selection runs on the (tiny) centroid set; the corpus scan
     is pruned to the probed clusters before the exact cosine top-k."""
-    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()[0]
-    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]])
-    cents = (
-        embeddings.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").select(vec_col).collect()
-    )
+    qrows = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()
+    if not qrows:
+        raise ValueError(f"ivf: query vec_id {query_vec_id} not found")
+    qvec = F.array(*[F.lit(float(x)) for x in qrows[0][0]])
+    cents = _collect_centroids(embeddings, n_centroids, vec_col)
     # rank centroids for the query INSIDE Spark arithmetic (same fold order
     # as assignment) on a one-row frame, then collect the probe ids
     spark = embeddings.sparkSession

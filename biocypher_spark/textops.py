@@ -148,10 +148,15 @@ def minhash_band_candidates(
     # b*r signature expressions would recompute it per seed (CollapseProject
     # keeps multi-consumer non-cheap producer projections apart)
     elem_col = elements if elements is not None else tokens(F.col(text_col))
+    # empty element arrays would all share the degenerate all-NULL signature
+    # (band key "") and self-join quadratically — 1M sub-n-char docs must not
+    # form one 10^12-row bucket. An empty set has no meaningful Jaccard
+    # similarity anyway, so such docs are excluded from candidacy (the
+    # oracle applies the same predicate).
     hashed = df.select(
         "doc_id",
         F.transform(elem_col, element_hash32).alias("_h"),
-    )
+    ).filter(F.size("_h") > 0)
 
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
@@ -288,14 +293,6 @@ def ngram_jaccard_pairs(
 
 _HEX = "0123456789abcdef"
 _POPCOUNT4 = "0112122312232334"  # popcount lookup for a 4-bit value
-
-
-def _simhash_vote(t: Column, pos: int, shift: int) -> Column:
-    """±1 vote for one simhash bit from one token: bit ``shift`` of md5 hex
-    digit ``pos``."""
-    digit = F.instr(F.lit(_HEX), F.substring(F.md5(t), pos, 1)) - 1
-    bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
-    return bit * 2 - 1
 
 
 def _vote_from_hex(h: Column, pos: int, shift: int) -> Column:
@@ -466,8 +463,14 @@ def winnow_fingerprints(
     # the char-split into every per-gram term would re-split the text O(n*k)
     # times per row (HOF lambdas evaluate interpreted)
     base = df.filter(F.length(text_col) >= k + window - 1)
+    # ascii() yields the full Unicode codepoint as int32; cast to LONG before
+    # the polynomial multiply — codepoints >= ~2326 (CJK, emoji, currency
+    # signs) overflow int32 at codepoint * 31^4 and abort the job under
+    # Spark's ANSI arithmetic. DuckDB computes the wide value natively, so
+    # the long math is also what the oracle already does.
     codes = base.select(
-        "doc_id", F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c)).alias("_codes")
+        "doc_id",
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")).alias("_codes"),
     )
 
     def gram_hash(i):

@@ -212,9 +212,22 @@ class SparkWorkflow:
             seen |= frontier
             if not frontier:
                 break
-        nodes = [self._nodes[n] for n in sorted(seen)]
-        edges = [e for e in self._edges.values() if e["source"] in seen and e["target"] in seen]
-        return {"nodes": nodes, "edges": edges, "hyperedges": []}
+        # component subgraph, returned with its OWN statistics
+        # (reference _workflow.py:475-482 returns subgraph.get_statistics())
+        sub = SparkWorkflow(name=self.name, directed=self.directed, schema=self.schema)
+        sub._nodes = {n: self._nodes[n] for n in seen}
+        sub._edges = {
+            k: e for k, e in self._edges.items() if e["source"] in seen and e["target"] in seen
+        }
+        sub._hyperedges = {
+            k: h for k, h in self._hyperedges.items() if set(h["nodes"]) <= seen
+        }
+        return {
+            "nodes": [sub._nodes[n] for n in sorted(sub._nodes)],
+            "edges": list(sub._edges.values()),
+            "hyperedges": list(sub._hyperedges.values()),
+            "statistics": sub.get_statistics(),
+        }
 
     # -- queries (dict views) -----------------------------------------------------------
 
@@ -317,6 +330,9 @@ class SparkWorkflow:
         self._nodes, self._edges, self._hyperedges = {}, {}, {}
 
     def copy(self) -> "SparkWorkflow":
+        # reference-faithful: the reference copy() likewise forwards only
+        # name/directed/schema and silently drops validation_mode and
+        # deduplication (_workflow.py:651-661); mirrored for API parity
         new = SparkWorkflow(name=self.name, directed=self.directed, schema=self.schema)
         new.from_json(self.to_json())
         return new

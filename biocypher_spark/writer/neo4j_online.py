@@ -105,7 +105,11 @@ class Neo4jOnlineWriter:
         self.max_retries = max_retries
 
     def _repartition(self, df: DataFrame) -> DataFrame:
-        return df.coalesce(self.parallelism) if self.parallelism else df
+        # repartition (a shuffle boundary), NOT coalesce: coalesce(1) would
+        # propagate up the narrow chain and run the whole upstream
+        # translate/extract DAG on one core — the shuffle serializes only
+        # the Bolt write itself
+        return df.repartition(self.parallelism) if self.parallelism else df
 
     def write_nodes(self, nodes: DataFrame) -> None:
         factory, query, batch_size = self.session_factory, NODE_MERGE_CYPHER, self.batch_size

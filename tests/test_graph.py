@@ -168,3 +168,22 @@ def test_json_roundtrip_with_hyperedges(hg, spark, tmp_path):
     back = type(hg).from_json(spark, path)
     assert back.nodes.count() == 5 and back.edges.count() == 4
     assert back.hyperedges.count() == 3
+
+
+def test_remove_edge_keeps_null_id_edges(spark, g):
+    """Null-safe removal: edges without a relationship_id (legal — the RDF
+    writer emits them as direct triples) must survive removing another edge
+    by id."""
+    from pyspark.sql import functions as F
+
+    edges = g.edges.withColumn(
+        "relationship_id",
+        F.when(F.col("source_id") == "a", F.lit(None).cast("string")).otherwise(
+            F.concat_ws("-", "source_id", "target_id")
+        ),
+    )
+    g2 = SparkGraph(g.nodes, edges, g.hyperedges).remove_edge("b-c")
+    remaining = {(r["source_id"], r["target_id"]) for r in g2.edges.collect()}
+    assert ("b", "c") not in remaining
+    # null-id edges from 'a' survive
+    assert {("a", "b"), ("a", "c")} <= remaining

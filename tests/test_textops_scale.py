@@ -237,3 +237,28 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
     # sanity: fingerprints are bounded ints
     assert all(0 <= f < 1 << 20 for s in fps.values() for f in s)
+
+
+def test_winnow_fingerprints_unicode_no_overflow(spark):
+    """CJK/emoji/currency codepoints must not overflow the polynomial hash
+    (regression: ascii() is int32; codepoint * 31^4 aborted the job under
+    ANSI arithmetic before the long cast)."""
+    from biocypher_spark.textops import winnow_fingerprints
+
+    rows = [(1, "hello 世界 and €uro signs in a document 🙂 long enough")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).collect()
+    assert fps and all(0 <= r["fp"] < 1 << 20 for r in fps)
+
+
+def test_band_candidates_skip_empty_element_docs(spark):
+    """Docs with empty shingle sets must not form a degenerate all-NULL
+    band bucket (which would self-join quadratically)."""
+    from biocypher_spark.textops import minhash_band_candidates, shingles
+    from pyspark.sql import functions as F
+
+    rows = [(i, "ab") for i in range(50)] + [(100, "same long text"), (101, "same long text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = minhash_band_candidates(docs, elements=shingles(F.col("text"), 3))
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {(100, 101)}  # none of the 50 sub-n-char docs pair up
