@@ -844,6 +844,30 @@ def emb_ivf_topk(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE)
 
 
+def _ivf_recall_oracle() -> str:
+    return f"""
+    SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM ({_cosine_topk_oracle()}) exact JOIN ({_ivf_topk_oracle()}) approx
+    USING (vec_id)
+    """
+
+
+@register("emb_ivf_recall", _ivf_recall_oracle())
+def emb_ivf_recall(spark, sf_dir):
+    """ANN quality measured, not guessed: recall@10 of the IVF probe path
+    against the brute-force cosine top-10 for the same query vector."""
+    from .similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
+    )
+
+
 _ND_TABLES = 4
 _ND_PLANES = 4
 _ND_CAP = 1000

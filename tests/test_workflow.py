@@ -71,6 +71,9 @@ def test_traversal(wf):
 def test_find_connected_components(wf):
     out = wf.find_connected_components("p1", max_depth=1)
     assert {n["id"] for n in out["nodes"]} == {"p1", "p2", "d1"}
+    # found path carries the component's own statistics (reference
+    # _workflow.py:475-482)
+    assert out["statistics"]["basic"]["nodes"] == 3
     assert wf.find_connected_components("zz") == {"nodes": [], "edges": [], "hyperedges": []}
 
 
