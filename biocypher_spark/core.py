@@ -226,6 +226,10 @@ class BioCypherSpark:
         return dict(self._missing) or None
 
     def log_duplicates(self) -> None:
+        # duplicate tracking is a batch-writer feature; DataFrame-interface
+        # sinks (RDF/OWL/BioPathNet) have no seen-id state to report
+        if not isinstance(self.writer, Neo4jBatchWriter):
+            return
         for df in (self.writer.get_duplicate_nodes(), self.writer.get_duplicate_edges()):
             if df is not None:
                 df.show(truncate=False)
@@ -235,8 +239,10 @@ class BioCypherSpark:
         /root/reference/biocypher/_core.py:713-793): extended schema plus
         present_in_knowledge_graph / is_relationship flags derived from what
         was actually written."""
-        written_nodes = set(self.writer.node_property_dict)
-        written_edges = set(self.writer.edge_property_dict)
+        # property dicts exist on the batch-writer family; other sinks have
+        # no per-class written-state, so everything reads as not-yet-present
+        written_nodes = set(getattr(self.writer, "node_property_dict", {}))
+        written_edges = set(getattr(self.writer, "edge_property_dict", {}))
         info: dict = {"is_schema_info": True}
         for cls, conf in self.mapping.extended_schema.items():
             entry = dict(conf)
@@ -256,6 +262,9 @@ class BioCypherSpark:
         if as_node:
             import json
 
+            # force= is a batch-writer knob (skip the cross-call seen-id
+            # check); DataFrame-interface sinks take the frame alone
+            force_kw = {"force": True} if isinstance(self.writer, Neo4jBatchWriter) else {}
             self.writer.write_nodes(
                 self.translator.translate_nodes(
                     nodes_from_tuples(
@@ -265,7 +274,7 @@ class BioCypherSpark:
                 ).nodes
                 if "schema_info" in self.translator.mappings
                 else self._schema_info_node(info),
-                force=True,
+                **force_kw,
             )
         return info
 

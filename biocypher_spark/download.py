@@ -149,7 +149,14 @@ class Downloader:
             return True
         if resource.lifetime == 0:
             return False
-        downloaded = datetime.strptime(record["date_downloaded"], "%Y-%m-%d %H:%M:%S.%f")
+        stamp = record["date_downloaded"]
+        try:
+            downloaded = datetime.strptime(stamp, "%Y-%m-%d %H:%M:%S.%f")
+        except ValueError:
+            # str(datetime) omits ".%f" when microsecond == 0 (a 1-in-10^6
+            # record); the reference crashes on such records (_get.py:193),
+            # here the no-fraction format is accepted
+            downloaded = datetime.strptime(stamp, "%Y-%m-%d %H:%M:%S")
         return downloaded + timedelta(days=resource.lifetime) < datetime.now()
 
     def _update_cache_record(self, resource: Resource) -> None:

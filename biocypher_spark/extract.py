@@ -1,6 +1,13 @@
 """Mention detection over transcript text (NEW stage; north_rule).
 
-Two implementations with identical output contracts:
+Two implementations with identical output contracts for NON-OVERLAPPING
+pattern sets (the default gazetteer is one; the equivalence is asserted in
+tests). When two patterns can match overlapping spans of the same text, the
+``mapInPandas`` path's single combined alternation resolves the overlap by
+leftmost-then-pattern-order precedence (each character is consumed once),
+while the per-pattern ``regexp_extract_all`` path scans the full text once
+PER label and reports every label's own matches — pick the variant whose
+semantics fit such gazetteers deliberately:
 
   * ``extract_mentions`` — Arrow-vectorized ``mapInPandas``: pandas
     ``str.extractall`` with one compiled alternation regex over salted,
@@ -71,6 +78,11 @@ def extract_mentions(
             hits = pdf["text"].str.extractall(combined)
             if hits.empty:
                 continue
+            # keep ONLY our per-pattern g{j} columns: a caller pattern with
+            # its own capturing groups adds integer- or user-named columns
+            # to extractall's frame, which would poison the melt/label
+            # mapping below (int 1 -> removeprefix -> astype(int) raises)
+            hits = hits[[c for c in hits.columns if isinstance(c, str) and re.fullmatch(r"g\d+", c)]]
             hits = hits.reset_index()  # columns: level_0 (row), match, g0..gN
             melted = hits.melt(
                 id_vars=["level_0", "match"], var_name="_g", value_name="surface"

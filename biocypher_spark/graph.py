@@ -103,16 +103,21 @@ class SparkGraph:
         behavior). ``node_ids`` may be a Python set/list (broadcast) or a
         single-column DataFrame for large keep-sets."""
         if isinstance(node_ids, DataFrame):
+            # the DataFrame path exists FOR large keep-sets — no broadcast
+            # hint, let AQE pick the join strategy (a forced broadcast of a
+            # 10^8-id keep table is a driver/executor OOM)
             keep = node_ids.toDF("node_id")
+            hint = lambda df: df  # noqa: E731
         else:
             keep = self.nodes.sparkSession.createDataFrame(
                 [(n,) for n in sorted(node_ids)], "node_id string"
             )
-        nodes = self.nodes.join(F.broadcast(keep), "node_id", "left_semi")
+            hint = F.broadcast
+        nodes = self.nodes.join(hint(keep), "node_id", "left_semi")
         if include_edges:
             edges = self.edges.join(
-                F.broadcast(keep.withColumnRenamed("node_id", "source_id")), "source_id", "left_semi"
-            ).join(F.broadcast(keep.withColumnRenamed("node_id", "target_id")), "target_id", "left_semi")
+                hint(keep.withColumnRenamed("node_id", "source_id")), "source_id", "left_semi"
+            ).join(hint(keep.withColumnRenamed("node_id", "target_id")), "target_id", "left_semi")
             edges = edges.select(self.edges.columns)
         else:
             edges = self.edges.limit(0)

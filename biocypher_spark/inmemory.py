@@ -51,7 +51,11 @@ class InMemoryKG:
         self.translator = translator
         self._node_frames: dict[str, DataFrame] = {}
         self._edge_frames: dict[str, DataFrame] = {}
+        # cross-call dedup state (the reference shares ONE Deduplicator
+        # across add() calls, _in_memory_kg.py:62-66): persisted id frames,
+        # not driver sets — anti-joined against each new batch
         self._seen_nodes: Optional[DataFrame] = None
+        self._seen_edges: Optional[DataFrame] = None
 
     def _prop_types_for(self, label: str, df: DataFrame, kind: str) -> dict:
         schema = self.translator.ontology.mapping.extended_schema
@@ -70,8 +74,16 @@ class InMemoryKG:
 
     def add_nodes(self, nodes: DataFrame) -> None:
         res = dedup_nodes(nodes)
-        for label in [r[0] for r in res.kept.select("node_label").distinct().collect()]:
-            sub = res.kept.filter(F.col("node_label") == label)
+        kept = res.kept
+        if self._seen_nodes is not None:
+            kept = kept.join(self._seen_nodes, "node_id", "left_anti")
+        kept = kept.localCheckpoint()
+        ids = kept.select("node_id")
+        self._seen_nodes = (
+            ids if self._seen_nodes is None else self._seen_nodes.union(ids)
+        ).localCheckpoint()
+        for label in [r[0] for r in kept.select("node_label").distinct().collect()]:
+            sub = kept.filter(F.col("node_label") == label)
             typed = _typed_props(sub.drop(SEQ), self._prop_types_for(label, sub, "node"))
             prev = self._node_frames.get(label)
             self._node_frames[label] = (
@@ -89,9 +101,20 @@ class InMemoryKG:
             self._add_edge_frames(edges)
 
     def _add_edge_frames(self, edges: DataFrame) -> None:
+        from .dedup import edge_dedup_key
+
         res = dedup_edges(edges)
-        for label in [r[0] for r in res.kept.select("relationship_label").distinct().collect()]:
-            sub = res.kept.filter(F.col("relationship_label") == label)
+        kept = res.kept.withColumn("_key", edge_dedup_key())
+        if self._seen_edges is not None:
+            kept = kept.join(self._seen_edges, ["relationship_label", "_key"], "left_anti")
+        kept = kept.localCheckpoint()
+        keys = kept.select("relationship_label", "_key")
+        self._seen_edges = (
+            keys if self._seen_edges is None else self._seen_edges.union(keys)
+        ).localCheckpoint()
+        kept = kept.drop("_key")
+        for label in [r[0] for r in kept.select("relationship_label").distinct().collect()]:
+            sub = kept.filter(F.col("relationship_label") == label)
             typed = _typed_props(sub.drop(SEQ), self._prop_types_for(label, sub, "edge"))
             prev = self._edge_frames.get(label)
             self._edge_frames[label] = (

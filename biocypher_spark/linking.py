@@ -317,6 +317,15 @@ def zero_shuffle_evidence(grouped: DataFrame, threshold: float = 0.35) -> tuple:
 
     Returns (linked_mentions, evidence) where evidence has columns
     (conv_id, turn_idx, ca, la, cb, lb), ca < cb by canonical id.
+
+    Evidence is MENTION-PAIR level: surfaces are deduped per turn by
+    normalized form BEFORE canonicalization, so two distinct variants of one
+    entity in the same turn yield one evidence row per variant pair. Making
+    rows unique per (turn, canonical pair) would need a distinct — i.e. the
+    corpus-wide shuffle this DAG exists to avoid — and consumers that want
+    entity-pair-level counts aggregate downstream anyway
+    (``cooccurrence_pairs`` groups by canonical ids; the bench counts
+    distinct triples separately).
     """
     mentions = grouped.select("conv_id", "turn_idx", F.explode("ms").alias("m")).select(
         "conv_id", "turn_idx", F.col("m.input_label").alias("input_label"), F.col("m.surface").alias("surface")

@@ -78,7 +78,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node"), F.col("b"))
         .groupBy("node")
-        .agg(F.least(F.min("b"), F.first("node")).alias("comp"))
+        .agg(F.min("b").alias("comp"))
         .select("node", F.least("comp", "node").alias("comp"))
         .localCheckpoint()
     )

@@ -139,9 +139,10 @@ class SparkTranslator:
             target = conf.get("label_as_edge") or cls
             for lab in to_list(labels):
                 self.mappings[lab] = sentence_to_pascal(target)
-            self.reverse_mappings[sentence_to_pascal(target)] = (
-                labels if isinstance(labels, list) else labels
-            )
+            # raw input_label as-is (list or scalar), matching the reference's
+            # reverse-mapping store — lists make reverse_translate ambiguous
+            # and raise there, scalars translate directly
+            self.reverse_mappings[sentence_to_pascal(target)] = labels
 
         self._mapping_rows = list(rows.values())
         self._prop_types: dict[str, dict] = {
@@ -271,8 +272,17 @@ class SparkTranslator:
         if self.strict_mode:
             edges_in = self._strict_prepare(edges_in, "Edge")
         joined = edges_in.join(F.broadcast(self.mapping_df()), "input_label", "left")
-        missing = self._missing(joined)
-        matched = joined.filter(F.col("cls").isNotNull())
+        # an edge class admitted to the schema without represented_as cannot
+        # be routed (plain vs rel-as-node) — the reference fails loudly with
+        # KeyError on extended_schema[...]["represented_as"]
+        # (_translate.py:270). Raising per-row doesn't distribute, so such
+        # edges are surfaced through the missing-labels metrics instead of
+        # being silently dropped by the NULL-failing filters below.
+        unroutable = F.col("cls").isNotNull() & F.col("represented_as").isNull()
+        missing = self._missing(
+            joined.withColumn("cls", F.when(unroutable, F.lit(None)).otherwise(F.col("cls")))
+        )
+        matched = joined.filter(F.col("cls").isNotNull() & F.col("represented_as").isNotNull())
 
         fprops = self._filtered_props()
         # reserved keys for edges: :TYPE, id, _ID (BioCypherEdge.__post_init__,

@@ -160,3 +160,16 @@ def test_dbms_owl_rel_as_node_flattened(spark, schema_path, tmp_path):
     # reified relationship node instance + IS_SOURCE_OF/IS_TARGET_OF helpers
     assert "i1" in owl
     assert "IS_SOURCE_OF" in owl and "IS_TARGET_OF" in owl
+
+
+def test_in_memory_cross_call_dedup(bc):
+    """The reference shares one Deduplicator across add() calls
+    (_in_memory_kg.py:62-66): re-adding the same node/edge in a later call
+    must not duplicate rows."""
+    bc.add(protein_nodes(2))
+    bc.add(protein_nodes(2))
+    kg = bc.get_kg()
+    assert kg["protein"].count() == 2
+    bc.add(perturbed_edges(3)[1:])
+    bc.add(perturbed_edges(3)[1:])
+    assert bc.get_kg()["PERTURBED_IN_DISEASE"].count() == 2

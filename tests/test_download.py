@@ -143,3 +143,12 @@ def test_non_ftp_directory_raises(tmp_path, fetcher):
 def test_unknown_resource_type_raises(dl):
     with pytest.raises(TypeError):
         dl._download_or_cache(Resource("plain", "http://x/y"))
+
+
+def test_cache_record_without_microseconds(dl, fetcher):
+    """str(datetime) omits '.%f' when microsecond == 0; such a record must
+    not crash expiry checks (the reference does — _get.py:193)."""
+    fd = FileDownload("nomicro", "http://x/y.txt", lifetime=7)
+    dl.download(fd)
+    dl.cache_dict["nomicro"]["date_downloaded"] = "2026-08-17 10:00:00"
+    assert dl._is_cache_expired(FileDownload("nomicro", "x", lifetime=7)) is False

@@ -176,3 +176,18 @@ def test_canonicalize_local_hot_block_matches(spark):
         for r in canonicalize(mentions, driver_cc_threshold=1, max_block_size=100).collect()
     }
     assert local == dist
+
+
+def test_extract_mentions_caller_pattern_with_capturing_group(spark):
+    """User-supplied patterns containing capturing groups must not poison
+    the extractall melt (regression: integer-named group columns raised
+    ValueError in every task)."""
+    from biocypher_spark.extract import extract_mentions
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "gene-12 and GEN7 here", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = extract_mentions(df, patterns={"gene": r"(GEN|gene-)\d+"}, balance=False)
+    got = sorted(r["surface"] for r in out.collect())
+    assert got == ["GEN7", "gene-12"]

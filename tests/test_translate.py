@@ -173,3 +173,31 @@ def test_query_translation(translator):
     )
     with pytest.raises(NotImplementedError):
         translator.reverse_translate("MATCH (n:PERTURBED_IN_DISEASE) RETURN n")
+
+
+def test_edge_without_represented_as_counted_missing(spark):
+    """A schema entry admitted without represented_as cannot be routed; its
+    edges must surface in the missing metrics, not vanish (the reference
+    raises KeyError — _translate.py:270; fail-soft-with-metrics here)."""
+    from biocypher_spark.mapping import SchemaMapping
+    from biocypher_spark.model import edges_from_tuples
+    from biocypher_spark.ontology import NullOntology
+    from biocypher_spark.translate import SparkTranslator
+
+    schema = {
+        "broken association": {"input_label": "broken"},  # no represented_as
+        "perturbed in disease": {
+            "represented_as": "edge",
+            "input_label": "ok",
+            "label_as_edge": "PERTURBED_IN_DISEASE",
+        },
+    }
+    tr = SparkTranslator(spark, NullOntology(SchemaMapping(schema=schema)))
+    edges = edges_from_tuples(
+        spark,
+        [(None, "a", "b", "broken", {}), (None, "a", "b", "ok", {})],
+    )
+    out = tr.translate_edges(edges)
+    assert out.edges.count() == 1  # the routable edge survives
+    missing = {r["input_label"]: r["count"] for r in out.missing.collect()}
+    assert missing == {"broken": 1}
