@@ -1166,6 +1166,99 @@ def doc_dedup_rate(spark, sf_dir):
     )
 
 
+# -- training-data hygiene: PII scrub, repetition, contamination --------------
+
+# the synthetic corpus carries no natural PII, so a deterministic subset of
+# docs (doc_id % 3 = 0) is enriched with synthetic email/phone/IP inline —
+# IN BOTH ENGINES — so the scrub operator is exercised on real matches
+# (plain strings: F.lit at module level would need an active SparkContext
+# at import time)
+_PII_PRE = " contact user"
+_PII_POST = "@example.com or 555-123-4567 from 10.0.0.7 now"
+
+
+def _pii_oracle() -> str:
+    from .textops import PII_PATTERNS
+
+    email, phone, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ip"))
+    scrub = "text"
+    for pat, tag in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+          THEN text || ' contact user' || doc_id::VARCHAR
+               || '@example.com or 555-123-4567 from 10.0.0.7 now'
+          ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{email}')) AS n_email,
+      len(regexp_extract_all(text, '{phone}')) AS n_phone,
+      len(regexp_extract_all(text, '{ip}')) AS n_ip,
+      {scrub} AS scrubbed
+    FROM t
+    """
+
+
+@register("doc_pii_scrub", _pii_oracle())
+def doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the (deterministically enriched)
+    corpus; see textops.pii_scrub."""
+    from .textops import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(_PII_PRE), F.col("doc_id").cast("string"), F.lit(_PII_POST)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(enriched)
+
+
+def _repetition_oracle() -> str:
+    grams = (
+        "[toks[i] || ' ' || toks[i + 1] for i in generate_series(1, greatest(len(toks) - 1, 0))]"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                      string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, lines, {grams} AS grams FROM t)
+    SELECT doc_id,
+      round(1 - len(list_distinct(lines))::DOUBLE / greatest(len(lines), 1), 6) AS dup_line_frac,
+      round(1 - len(list_distinct(grams))::DOUBLE / greatest(len(grams), 1), 6) AS dup_word_2gram_frac
+    FROM g
+    """
+
+
+@register("doc_repetition", _repetition_oracle())
+def doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition fractions."""
+    from .textops import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_CONTAMINATION_PROBES = ["table window table", "batch window spark", "quantum zebra probe"]
+
+
+def _contamination_oracle() -> str:
+    clauses = " OR ".join(f"contains(text, '{p}')" for p in _CONTAMINATION_PROBES)
+    return f"SELECT doc_id, ({clauses}) AS contaminated FROM documents"
+
+
+@register("doc_contamination", _contamination_oracle())
+def doc_contamination(spark, sf_dir):
+    """Benchmark-contamination screen against a fixed probe set."""
+    from .textops import contamination_check
+
+    return contamination_check(_t(spark, sf_dir, "documents"), _CONTAMINATION_PROBES)
+
+
 @register(
     "kg_hyperedges",
     """

@@ -484,3 +484,80 @@ def winnow_fingerprints(
     win_idx = F.sequence(F.lit(1), F.size("_hashes") - (window - 1))
     mins = F.transform(win_idx, lambda i: F.array_min(F.slice(F.col("_hashes"), i, window)))
     return hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+# -- training-data hygiene operators (PII, repetition, contamination) ---------
+
+# deliberately simple, engine-portable regexes (character classes + bounded
+# quantifiers only — the subset Java regex and RE2 interpret identically)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?\d{3}[- ]?\d{3}[- ]?\d{4}", "[PHONE]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-document match counts and the text
+    with every match replaced by its placeholder ([EMAIL]/[PHONE]/[IP]).
+
+    Standard training-pipeline hygiene pass: one linear scan, all built-in
+    ``regexp_extract_all``/``regexp_replace`` (whole-stage codegen), no
+    shuffle. The raw column is untouched; the scrubbed text is a NEW column
+    (per-turn text-equality invariant). Replacement order is email -> phone
+    -> ip, so the oracle must chain in the same order.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = F.col(text_col)
+    for _name, (pat, tag) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition fractions (Gopher-style quality signals):
+
+    - ``dup_line_frac``: 1 - distinct lines / lines
+    - ``dup_word_2gram_frac``: 1 - distinct word bigrams / word bigrams
+
+    Heavily repetitive documents (boilerplate, scraped templates, decoding
+    loops) score high and are filtered before training. One linear scan,
+    array built-ins only; fractions round to 6 decimals for oracle parity.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    toks = tokens(F.col(text_col))
+    # bigrams via two shifted slices zipped — NOT sequence(1, n-1): Spark's
+    # sequence(1, 0) counts DOWN to [1, 0] (DuckDB's generate_series is
+    # empty), which both diverges from the oracle and indexes out of bounds
+    # under ANSI for single-token docs
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    dup_frac = lambda arr: F.round(  # noqa: E731
+        1 - F.size(F.array_distinct(arr)) / F.greatest(F.size(arr), F.lit(1)), 6
+    )
+    return df.select(
+        "doc_id",
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(grams).alias("dup_word_2gram_frac"),
+    )
+
+
+def contamination_check(df: DataFrame, probes: list, text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination screen: flag documents containing ANY probe
+    string (typically benchmark n-grams).
+
+    The probe list is broadcast as literals; the scan stays linear with no
+    join. For probe sets too large to inline (millions of eval n-grams),
+    shingle the corpus and semi-join on hashed n-grams instead — this
+    operator is the small-probe-set fast path.
+    """
+    hit = F.exists(
+        F.array(*[F.lit(p) for p in probes]),
+        lambda p: F.contains(F.col(text_col), p),
+    )
+    return df.select("doc_id", hit.alias("contaminated"))

@@ -262,3 +262,42 @@ def test_band_candidates_skip_empty_element_docs(spark):
     cand = minhash_band_candidates(docs, elements=shingles(F.col("text"), 3))
     got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
     assert got == {(100, 101)}  # none of the 50 sub-n-char docs pair up
+
+
+def test_pii_scrub(spark):
+    from biocypher_spark.textops import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.io or call 415-555-1234 from 192.168.0.1 ok"),
+        (2, "nothing sensitive here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "mail me at [EMAIL] or call [PHONE] from [IP] ok"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+    assert out[2]["scrubbed"] == "nothing sensitive here at all"
+
+
+def test_repetition_signals(spark):
+    from biocypher_spark.textops import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct of 5
+        (2, "all words unique here"),
+        (3, "x\nx\ny"),           # 2 distinct lines of 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["dup_word_2gram_frac"] == 0.6
+    assert out[2]["dup_word_2gram_frac"] == 0.0
+    assert abs(out[3]["dup_line_frac"] - 1 / 3) < 1e-6
+
+
+def test_contamination_check(spark):
+    from biocypher_spark.textops import contamination_check
+
+    rows = [(1, "the quick brown fox"), (2, "clean text entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, ["brown fox", "zzz"]).collect()}
+    assert out == {1: True, 2: False}
