@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_ngram_jaccard",
     "doc_simhash_near_dup",
     "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_repetition",
+    "doc_contamination",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_near_dup",
