@@ -1,6 +1,7 @@
 """Benchmark driver: headline operator queries at $SPARK_GRAFT_SF_DIR plus
 the end-to-end KG-construction pipeline, plus the two-parallelism scaling
-protocol (local[8] vs local[32] on identical input; BASELINE.md).
+protocol (N vs 4N cores on identical input — default local[2] vs local[8],
+see SCALING_CORES for why not 8 vs 32 on this host; BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
@@ -74,11 +75,23 @@ def build_spark(cores: int):
     )
 
 
+def _generator_fingerprint() -> str:
+    """Source hash of the transcripts generator: the cached input parquet is
+    keyed by it, so editing the generator invalidates the cache instead of
+    silently benchmarking new code against old data."""
+    import hashlib
+    import inspect
+
+    from biocypher_spark import transcripts
+
+    return hashlib.md5(inspect.getsource(transcripts).encode()).hexdigest()[:8]
+
+
 def materialize_input(spark, n_turns: int) -> str:
     """Write the deterministic transcripts table once; both scaling runs
     read the identical parquet (the engine's contract is reading
     Iceberg/parquet-tabled transcripts, so generation cost is excluded)."""
-    path = f"{SCALING_INPUT}_{n_turns}"
+    path = f"{SCALING_INPUT}_{n_turns}_{_generator_fingerprint()}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from biocypher_spark.transcripts import generate_transcripts
 
@@ -166,15 +179,26 @@ def run_scaling(n_turns: int) -> dict:
         # threads), inflating low-N throughput and understating the
         # true N -> 4N ratio
         pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
-        proc = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung worker must not take down the whole bench (all headline
+            # timings would be lost with no JSON ever printed)
+            print(f"scaling worker cores={cores} timed out after 3600s", file=sys.stderr)
+            return None
         for line in proc.stdout.splitlines():
             if line.startswith("SCALING_RESULT "):
                 return json.loads(line.removeprefix("SCALING_RESULT "))
+        print(
+            f"scaling worker cores={cores} produced no result "
+            f"(exit={proc.returncode}): {proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else 'no stderr'}",
+            file=sys.stderr,
+        )
         return None
 
     # PAIRED rounds: the shared host's capacity drifts on ~10-minute
@@ -212,9 +236,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
     # warm-up: JVM codegen, parquet footers, Python workers — one-time costs
-    # that would otherwise be billed entirely to the first headline query
+    # that would otherwise be billed entirely to the first headline query.
+    # kg_extract_mentions is the mapInPandas warm-up: the two SQL-only
+    # queries never spawn the Python worker pool, so without it the first
+    # Arrow query in the timed loop absorbs worker startup
     queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     queries["kg_translate_nodes"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    queries["kg_extract_mentions"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

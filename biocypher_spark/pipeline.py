@@ -64,6 +64,34 @@ DEFAULT_SCHEMA_DICT: dict = {
 _LINEAGE_BUCKETS = 16
 
 
+def load_default_schema_mapping() -> SchemaMapping:
+    """The default transcripts schema, resolved across deployment modes:
+
+    1. the repo checkout's ``config/transcripts_schema.yaml``;
+    2. a ``--py-files biocypher_spark.zip`` deployment, where the yaml
+       travels INSIDE the zip (``os.path.exists`` is False for zip members,
+       so it is read through ``zipfile``) — local and cluster runs share one
+       schema file instead of silently diverging;
+    3. the embedded ``DEFAULT_SCHEMA_DICT`` as the last resort.
+    """
+    if os.path.exists(DEFAULT_SCHEMA):
+        return SchemaMapping(DEFAULT_SCHEMA)
+    if ".zip" in DEFAULT_SCHEMA:
+        zpath, _, member = DEFAULT_SCHEMA.partition(".zip")
+        try:
+            import zipfile
+
+            import yaml
+
+            with zipfile.ZipFile(zpath + ".zip") as zf:
+                data = yaml.safe_load(zf.read(member.lstrip("/\\").replace(os.sep, "/")))
+            if data:
+                return SchemaMapping(schema=data)
+        except (OSError, KeyError):
+            pass
+    return SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
+
+
 @dataclass
 class PipelineResult:
     nodes: DataFrame
@@ -102,8 +130,8 @@ class KGPipeline:
         self.outdir = output_directory
         self.run_dir = run_dir or os.path.join(output_directory, "_run")
         os.makedirs(self.run_dir, exist_ok=True)
-        if schema_config_path == DEFAULT_SCHEMA and not os.path.exists(schema_config_path):
-            self.mapping = SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
+        if schema_config_path == DEFAULT_SCHEMA:
+            self.mapping = load_default_schema_mapping()
         else:
             self.mapping = SchemaMapping(schema_config_path)
         self.translator = SparkTranslator(spark, NullOntology(self.mapping), strict_mode=strict_mode)

@@ -142,9 +142,18 @@ def stream_kg(
     Each micro-batch flows through the SAME batch operators via
     ``foreachBatch``; the batch writer's cross-call machinery supplies the
     incremental semantics — part-file numbering continues across batches and
-    the persisted seen-id anti-join (``track_seen``) dedups node/edge ids
-    across batches, so replays/overlaps cannot double rows. Source progress
-    is exactly-once via the stream checkpoint.
+    the seen-id anti-join (``track_seen``) dedups node/edge ids across
+    batches. ``foreachBatch`` is AT-LEAST-ONCE, so idempotence is made
+    durable in ``{output}/_stream_meta``:
+
+    - ``committed.json`` (atomic rename) records the last committed batch id
+      plus the part-file inventory; a replayed batch id <= the committed one
+      is skipped outright, and part files NOT in the inventory (leftovers of
+      a crashed attempt) are wiped before re-emitting.
+    - the writer's seen-id frames are persisted per committed batch
+      (``seen_*_b{id}`` parquet generations) and restored on restart, so a
+      process crash cannot reset cross-batch dedup; generations newer than
+      the committed marker (written but not committed) are discarded.
 
     Canonicalization note: cross-batch consistency requires the surface ->
     canonical map to be batch-independent. Pass a precomputed ``mapping``
@@ -156,18 +165,14 @@ def stream_kg(
     then stops).
     """
     from ..linking import link_mentions
-    from ..mapping import SchemaMapping
     from ..ontology import NullOntology
-    from ..pipeline import DEFAULT_SCHEMA, DEFAULT_SCHEMA_DICT, build_triple_tuples
+    from ..pipeline import build_triple_tuples, load_default_schema_mapping
     from ..translate import SparkTranslator
     from ..writer.neo4j import Neo4jBatchWriter
 
     import os
 
-    if os.path.exists(DEFAULT_SCHEMA):
-        schema_mapping = SchemaMapping(DEFAULT_SCHEMA)
-    else:
-        schema_mapping = SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
+    schema_mapping = load_default_schema_mapping()
     translator = SparkTranslator(spark, NullOntology(schema_mapping))
     writer = Neo4jBatchWriter(
         spark, translator, output_directory, strict_mode=False, validate_props=False,
@@ -183,18 +188,91 @@ def stream_kg(
             "nkey", F.col("nkey").alias("canonical_id")
         )
 
+    import glob
+    import json as _json
+    import shutil
+
+    meta_dir = os.path.join(output_directory, "_stream_meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    committed_path = os.path.join(meta_dir, "committed.json")
+    _SEEN_ATTRS = ("_seen_nodes", "_seen_edges", "_seen_ran")
+
+    def _read_committed() -> dict:
+        if os.path.exists(committed_path):
+            with open(committed_path) as fh:
+                return _json.load(fh)
+        return {"last_batch": -1, "part_files": []}
+
+    def _seen_generations(attr: str) -> dict[int, str]:
+        out = {}
+        for d in glob.glob(os.path.join(meta_dir, f"{attr}_b*")):
+            try:
+                out[int(os.path.basename(d).rsplit("_b", 1)[1])] = d
+            except ValueError:
+                continue
+        return out
+
+    def _restore_seen(last_batch: int) -> None:
+        """Load the newest seen-id generation <= the committed batch;
+        discard generations written by a crashed, uncommitted attempt."""
+        for attr in _SEEN_ATTRS:
+            gens = _seen_generations(attr)
+            for b, d in list(gens.items()):
+                if b > last_batch:
+                    shutil.rmtree(d, ignore_errors=True)
+                    del gens[b]
+            if gens:
+                setattr(writer, attr, spark.read.parquet(gens[max(gens)]))
+
+    def _persist_seen(batch_id: int) -> None:
+        for attr in _SEEN_ATTRS:
+            df = getattr(writer, attr)
+            if df is None:
+                continue
+            new = os.path.join(meta_dir, f"{attr}_b{batch_id}")
+            df.write.mode("overwrite").parquet(new)
+            setattr(writer, attr, spark.read.parquet(new))
+
+    def _drop_old_seen(batch_id: int) -> None:
+        for attr in _SEEN_ATTRS:
+            for b, d in _seen_generations(attr).items():
+                if b < batch_id:
+                    shutil.rmtree(d, ignore_errors=True)
+
+    _restore_seen(_read_committed()["last_batch"])
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = _read_committed()
+        if batch_id <= state["last_batch"]:
+            return  # at-least-once replay of an already-committed batch
+        # wipe part files a crashed attempt left behind (not in the
+        # committed inventory) so re-emitting cannot double rows
+        committed = set(state["part_files"])
+        for f in glob.glob(os.path.join(output_directory, "*-part*.csv")):
+            if os.path.basename(f) not in committed:
+                os.remove(f)
         mentions = stream_mentions(batch_df, pats)  # plain batch DF inside foreachBatch
         if mentions.limit(1).count() == 0:
-            return
-        batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
-        linked = link_mentions(mentions, mapping=batch_mapping)
-        node_tuples, edge_tuples = build_triple_tuples(linked)
-        tn = translator.translate_nodes(node_tuples)
-        te = translator.translate_edges(edge_tuples)
-        writer.write_nodes(tn.nodes)
-        writer.write_edges(te)
-        writer.write_import_call()
+            parts = state["part_files"]
+        else:
+            batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
+            linked = link_mentions(mentions, mapping=batch_mapping)
+            node_tuples, edge_tuples = build_triple_tuples(linked)
+            tn = translator.translate_nodes(node_tuples)
+            te = translator.translate_edges(edge_tuples)
+            writer.write_nodes(tn.nodes)
+            writer.write_edges(te)
+            writer.write_import_call()
+            _persist_seen(batch_id)
+            parts = sorted(
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(output_directory, "*-part*.csv"))
+            )
+        tmp = committed_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"last_batch": batch_id, "part_files": parts}, fh)
+        os.replace(tmp, committed_path)
+        _drop_old_seen(batch_id)
 
     stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
     builder = stream.writeStream.foreachBatch(handle_batch).option("checkpointLocation", checkpoint_dir)

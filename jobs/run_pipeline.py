@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -53,6 +54,26 @@ def main() -> None:
         schema_config_path=args.schema or DEFAULT_SCHEMA,
         link_threshold=args.link_threshold,
     )
+    # resume guard: checkpoints are keyed only by stage _SUCCESS markers, so
+    # resuming with different input/config would silently serve the OLD
+    # run's data under the new flags — refuse instead
+    cfg = {
+        "input": args.input,
+        "generate": args.generate,
+        "schema": args.schema,
+        "link_threshold": args.link_threshold,
+    }
+    cfg_path = os.path.join(pipe.run_dir, "job_config.json")
+    if args.resume and os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            prev = json.load(fh)
+        if prev != cfg:
+            sys.exit(
+                f"--resume refused: checkpoints in {pipe.run_dir} were produced with "
+                f"{prev}, current flags are {cfg}; clear the output directory or match the flags"
+            )
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
     t0 = time.time()
     res = pipe.run(transcripts, resume=args.resume)
     stats = {**res.counts, "sec": round(time.time() - t0, 2), "lineage": res.lineage_path}

@@ -8,8 +8,13 @@ Usage:
 
 Each micro-batch flows through the batch operators (extract -> link ->
 translate -> Neo4j batch writer); the writer's cross-call seen-id dedup and
-part numbering give incremental append semantics, and the stream checkpoint
-makes reruns no-ops. Build the zip with: python tools/make_pyfiles.py
+part numbering give incremental append semantics. foreachBatch is
+at-least-once, so {output}/_stream_meta makes replays idempotent: an atomic
+committed-batch marker + part-file inventory (crashed attempts are wiped
+and re-emitted once; committed batches are skipped) and per-batch persisted
+seen-id generations (cross-batch dedup survives process restarts). The
+output directory is owned by its checkpoint — reuse it only with the same
+--checkpoint. Build the zip with: python tools/make_pyfiles.py
 """
 
 from __future__ import annotations

@@ -132,3 +132,27 @@ def test_label_collision_yields_namespaced_nodes(spark, tmp_path):
     assert len(ids) == len(set(ids))  # no id collisions
     assert any(i.startswith("protein:") for i in ids)
     assert any(i.startswith("disease:") for i in ids)
+
+
+def test_default_schema_loads_from_zip(tmp_path, monkeypatch):
+    """--py-files deployments resolve the default schema from INSIDE the zip
+    (os.path.exists is False for zip members), so local and cluster runs
+    share one schema file instead of silently falling back to the embedded
+    dict."""
+    import zipfile
+
+    import biocypher_spark.pipeline as pl
+
+    zpath = tmp_path / "fake.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr(
+            "config/transcripts_schema.yaml",
+            "zipped thing:\n  represented_as: node\n  input_label: zt\n",
+        )
+    monkeypatch.setattr(pl, "DEFAULT_SCHEMA", str(zpath) + "/config/transcripts_schema.yaml")
+    mapping = pl.load_default_schema_mapping()
+    assert "zipped thing" in mapping.extended_schema
+    # corrupt/missing member -> embedded dict fallback
+    monkeypatch.setattr(pl, "DEFAULT_SCHEMA", str(zpath) + "/config/absent.yaml")
+    fallback = pl.load_default_schema_mapping()
+    assert "protein" in fallback.extended_schema

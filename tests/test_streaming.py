@@ -156,3 +156,47 @@ def test_stream_exact_dedup(spark, stream_dir):
         assert got["n"] == got["d"] == expected
     finally:
         q.stop()
+
+
+def test_stream_kg_crash_replay_idempotent(spark, tmp_path):
+    """At-least-once hardening: part files left by a crashed (uncommitted)
+    attempt are wiped before the next batch emits, committed batches are
+    skipped on replay, and seen-id state is persisted per batch."""
+    import glob
+    import json
+    import shutil
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    generate_transcripts(spark, 400, partitions=2).write.mode("overwrite").parquet(indir)
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    committed = json.load(open(os.path.join(outdir, "_stream_meta", "committed.json")))
+    parts_before = sorted(os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*-part*.csv")))
+    assert committed["part_files"] == parts_before and committed["last_batch"] >= 0
+    # seen-id generations persisted for restart recovery
+    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+
+    # simulate a crashed attempt: a part file NOT in the committed inventory
+    stale = os.path.join(outdir, "Protein-part900.csv")
+    shutil.copy(glob.glob(os.path.join(outdir, "Protein-part*.csv"))[0], stale)
+
+    # new data arrives -> a NEW batch id; the stale part must be wiped first
+    generate_transcripts(spark, 200, partitions=1).write.mode("append").parquet(indir)
+    q2 = stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4)
+    q2.awaitTermination(300)
+
+    assert not os.path.exists(stale), "uncommitted stale part survived replay"
+    committed2 = json.load(open(os.path.join(outdir, "_stream_meta", "committed.json")))
+    assert committed2["last_batch"] > committed["last_batch"]
+    # still no duplicate node ids across all parts (seen state survived)
+    seen: set = set()
+    for p in glob.glob(os.path.join(outdir, "Protein-part*.csv")):
+        for line in open(p):
+            nid = line.split(";")[0]
+            assert nid not in seen
+            seen.add(nid)

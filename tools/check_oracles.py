@@ -21,9 +21,13 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            v = 0.0  # -0.0 == 0.0 numerically; don't render the sign
         return f"{v:.6f}"
     if v is None:
-        return ""
+        # distinct sentinel: NULL must NOT compare equal to "" (a Spark NULL
+        # vs DuckDB empty string is a real disagreement)
+        return "\x00NULL"
     return str(v)
 
 
@@ -85,10 +89,18 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # a typo'd filter name must not yield a green "0 failures / N checked"
+    # summary without running anything
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
+    checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -131,7 +143,7 @@ def main():
             failures += 1
         else:
             print(f"OK    {name}: rows={len(sset)}")
-    print(f"\n{failures} failures / {len(queries) if not only else len(only)} checked")
+    print(f"\n{failures} failures / {checked} checked")
     spark.stop()
     sys.exit(1 if failures else 0)
 
