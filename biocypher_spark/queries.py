@@ -549,7 +549,13 @@ _BANDS = 4
 _ROWS_PER_BAND = 3
 
 
-def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, est_min: int = 0) -> str:
+def _band_cte(
+    elem_sql: str,
+    bands: int = _BANDS,
+    rows: int = _ROWS_PER_BAND,
+    est_min: int = 0,
+    source: str = "documents",
+) -> str:
     """CTEs 'hashed' + 'sigs' + 'bands' + 'cand' for banded-minhash candidate
     pairs over the element-list SQL expression (mirrors
     minhash_band_candidates: one 32-bit md5-derived hash per element, then
@@ -577,7 +583,7 @@ def _band_cte(elem_sql: str, bands: int = _BANDS, rows: int = _ROWS_PER_BAND, es
     return f"""
     hashed AS (SELECT doc_id,
       list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-      FROM documents WHERE len({elem_sql}) > 0),
+      FROM {source} WHERE len({elem_sql}) > 0),
     sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
     bands AS ({band_rows}),
     cand AS (
@@ -1241,6 +1247,90 @@ def doc_repetition(spark, sf_dir):
     from .textops import repetition_signals
 
     return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# near-dup CLUSTERING = banded-minhash pairs -> connected components -> one
+# canonical doc per cluster. The query runs on a deterministic subsample
+# (doc_id % 29 = 0): the synthetic corpus is near-dup-dense (7.5M pairs >=
+# 0.5 at sf0.1), and the oracle's recursive-CTE reachability walk is
+# O(sum |component|^2) rows — the subsample keeps the SQL oracle tractable
+# while exercising the full pairs -> components -> representative DAG. The
+# Spark path itself has no such limit (distributed min-label CC).
+_CLUSTER_MOD = 29
+_CLUSTER_T = 0.8
+
+
+def _neardup_cluster_oracle() -> str:
+    jac = (
+        "round(len(list_intersect(a.toks, b.toks))::DOUBLE"
+        " / len(list_distinct(list_concat(a.toks, b.toks))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {_band_cte(
+        "string_split(text, ' ')",
+        source=f"(SELECT * FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0)",
+    )},
+    sub AS (SELECT doc_id FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0),
+    t AS (SELECT doc_id, list_distinct(list_sort(string_split(text, ' '))) AS toks
+          FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
+      WHERE {jac} >= {_CLUSTER_T}
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.node
+    ),
+    comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+    SELECT sub.doc_id, coalesce(comps.comp, sub.doc_id) AS cluster_id
+    FROM sub LEFT JOIN comps ON comps.node = sub.doc_id
+    """
+
+
+@register("doc_neardup_clusters", _neardup_cluster_oracle())
+def doc_neardup_clusters(spark, sf_dir):
+    """Near-dup clusters: banded-minhash pairs -> connected components;
+    cluster_id = min doc_id of the component, singletons are their own
+    cluster. The canonical-representative step of a dedup pipeline."""
+    from .operators.components import connected_components
+    from .textops import minhash_banded_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % _CLUSTER_MOD == 0)
+    pairs = minhash_banded_pairs(docs, threshold=_CLUSTER_T)
+    comp = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("cluster_id"))
+    )
+
+
+_MIX_RATES = {"de": 1.0, "en": 0.5, "fr": 0.1}
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(_MIX_RATES.items())
+    )
+    h = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)"
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {h} < CASE lang {cases} ELSE -1 END
+    """
+
+
+@register("doc_stratified_sample", _stratified_oracle())
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample: per-language keep rates via a
+    stateless hash cut (textops.stratified_sample)."""
+    from .textops import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang")
 
 
 _CONTAMINATION_PROBES = ["table window table", "batch window spark", "quantum zebra probe"]

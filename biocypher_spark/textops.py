@@ -561,3 +561,26 @@ def contamination_check(df: DataFrame, probes: list, text_col: str = "text") -> 
         lambda p: F.contains(F.col(text_col), p),
     )
     return df.select("doc_id", hit.alias("contaminated"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training pipeline (per-domain/language weights).
+
+    A row is kept when ``hash32(key) % 10^6 < rate(stratum) * 10^6``: no RNG
+    state, so the sample is reproducible across runs, engines, and
+    partitionings (md5-derived hash), and re-running after adding data keeps
+    previously-selected rows selected. Strata missing from ``rates`` are
+    dropped. One linear scan, no shuffle.
+    """
+    pairs = []
+    for k in sorted(rates):
+        pairs += [F.lit(k), F.lit(int(rates[k] * 1_000_000))]
+    cut = F.element_at(F.create_map(*pairs), F.col(strata_col))
+    h = F.pmod(element_hash32(F.col(key_col).cast("string")), F.lit(1_000_000))
+    return df.filter(cut.isNotNull() & (h < cut))

@@ -301,3 +301,43 @@ def test_contamination_check(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, ["brown fox", "zzz"]).collect()}
     assert out == {1: True, 2: False}
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from biocypher_spark.textops import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de", f"text {i}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_sample(docs, {"en": 0.25, "de": 1.0})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["de"] == 1000  # rate 1.0 keeps everything
+    assert 150 < counts["en"] < 350  # ~25% of 1000
+    # deterministic: same selection every run
+    first = {r["doc_id"] for r in out.collect()}
+    second = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.25, "de": 1.0}).collect()}
+    assert first == second
+    # stratum missing from rates drops entirely
+    none_kept = stratified_sample(docs, {"fr": 1.0}).count()
+    assert none_kept == 0
+    # monotone: raising a rate only ADDS rows (hash-cut property)
+    bigger = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5, "de": 1.0}).collect()}
+    assert first <= bigger
+
+
+def test_neardup_cluster_representatives(spark):
+    """Pairs -> components -> cluster ids: near-identical docs share a
+    cluster, the representative is the min doc_id."""
+    from biocypher_spark.operators.components import connected_components
+    from biocypher_spark.textops import minhash_banded_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base), (2, base + " iota"), (3, base + " kappa"),
+        (10, "completely different content with other words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_banded_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+    clusters = {r["node"]: r["comp"] for r in comp.collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert 10 not in clusters  # singleton: no pair membership
