@@ -1194,8 +1194,7 @@ def _pii_oracle() -> str:
     WITH t AS (
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0
-          THEN text || ' contact user' || doc_id::VARCHAR
-               || '@example.com or 555-123-4567 from 10.0.0.7 now'
+          THEN text || '{_PII_PRE}' || doc_id::VARCHAR || '{_PII_POST}'
           ELSE text END AS text
       FROM documents)
     SELECT doc_id,
@@ -1230,13 +1229,20 @@ def _repetition_oracle() -> str:
     grams = (
         "[toks[i] || ' ' || toks[i + 1] for i in generate_series(1, greatest(len(toks) - 1, 0))]"
     )
+    def frac(arr: str) -> str:
+        # empty array -> 0.0, matching textops.repetition_signals
+        return (
+            f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+            f"round(1 - len(list_distinct({arr}))::DOUBLE / greatest(len({arr}), 1), 6) END"
+        )
+
     return f"""
     WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
                       string_split(text, ' ') AS toks FROM documents),
     g AS (SELECT doc_id, lines, {grams} AS grams FROM t)
     SELECT doc_id,
-      round(1 - len(list_distinct(lines))::DOUBLE / greatest(len(lines), 1), 6) AS dup_line_frac,
-      round(1 - len(list_distinct(grams))::DOUBLE / greatest(len(grams), 1), 6) AS dup_word_2gram_frac
+      {frac("lines")} AS dup_line_frac,
+      {frac("grams")} AS dup_word_2gram_frac
     FROM g
     """
 

@@ -239,7 +239,28 @@ def stream_kg(
                 if b < batch_id:
                     shutil.rmtree(d, ignore_errors=True)
 
-    _restore_seen(_read_committed()["last_batch"])
+    # checkpoint identity: batch ids are only meaningful relative to ONE
+    # stream checkpoint. A reset/swapped checkpoint restarts ids at 0, and
+    # the committed-marker skip would then silently drop NEW data — bind
+    # the output dir to its checkpoint via a marker token and refuse a
+    # mismatch (mirrors run_pipeline's --resume config guard).
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ckpt_id_path = os.path.join(checkpoint_dir, "_kg_stream_id")
+    if not os.path.exists(ckpt_id_path):
+        import time as _time
+
+        with open(ckpt_id_path, "w") as fh:
+            fh.write(str(_time.time_ns()))
+    with open(ckpt_id_path) as fh:
+        ckpt_id = fh.read().strip()
+    _initial = _read_committed()
+    if _initial["last_batch"] >= 0 and _initial.get("checkpoint_id") not in (None, ckpt_id):
+        raise ValueError(
+            f"output directory {output_directory} was produced with a different stream "
+            "checkpoint; reuse the original --checkpoint or clear the output directory"
+        )
+
+    _restore_seen(_initial["last_batch"])
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         state = _read_committed()
@@ -263,14 +284,20 @@ def stream_kg(
             writer.write_nodes(tn.nodes)
             writer.write_edges(te)
             writer.write_import_call()
-            _persist_seen(batch_id)
             parts = sorted(
                 os.path.basename(f)
                 for f in glob.glob(os.path.join(output_directory, "*-part*.csv"))
             )
+        # persist seen state UNCONDITIONALLY (a match-less batch carries the
+        # previous state forward as its own generation) — otherwise the
+        # marker advances, _drop_old_seen deletes the only surviving
+        # generation, and cross-batch dedup is silently reset
+        _persist_seen(batch_id)
         tmp = committed_path + ".tmp"
         with open(tmp, "w") as fh:
-            _json.dump({"last_batch": batch_id, "part_files": parts}, fh)
+            _json.dump(
+                {"last_batch": batch_id, "part_files": parts, "checkpoint_id": ckpt_id}, fh
+            )
         os.replace(tmp, committed_path)
         _drop_old_seen(batch_id)
 

@@ -537,9 +537,13 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     grams = F.zip_with(
         F.slice(toks, 1, n1), F.slice(toks, 2, n1), lambda x, y: F.concat_ws(" ", x, y)
     )
-    dup_frac = lambda arr: F.round(  # noqa: E731
-        1 - F.size(F.array_distinct(arr)) / F.greatest(F.size(arr), F.lit(1)), 6
-    )
+    def dup_frac(arr):
+        # an EMPTY array (single-token doc -> zero bigrams) is 0.0 — no
+        # repetition evidence; the naive 1 - 0/1 would score it 1.0 and a
+        # "drop if frac > t" hygiene filter would discard every short doc
+        frac = 1 - F.size(F.array_distinct(arr)) / F.greatest(F.size(arr), F.lit(1))
+        return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(F.round(frac, 6))
+
     return df.select(
         "doc_id",
         dup_frac(lines).alias("dup_line_frac"),

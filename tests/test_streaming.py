@@ -200,3 +200,55 @@ def test_stream_kg_crash_replay_idempotent(spark, tmp_path):
             nid = line.split(";")[0]
             assert nid not in seen
             seen.add(nid)
+
+
+def test_stream_kg_empty_batch_preserves_seen_state(spark, tmp_path):
+    """A micro-batch with no pattern matches must not wipe the persisted
+    seen-id generations (regression: the empty branch advanced the marker
+    then garbage-collected the only surviving generation)."""
+    import datetime
+    import glob
+    import json
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    generate_transcripts(spark, 300, partitions=1).write.mode("overwrite").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+
+    # batch with NO matches (text contains no PROT/DIS surfaces)
+    blank = [("cx", 0, "user", "nothing relevant here", None, datetime.datetime(2024, 1, 1))]
+    spark.createDataFrame(
+        blank, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+    gens = glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+    assert gens, "empty batch wiped the seen-id state"
+
+    # the same entities arriving again must still dedup (state survived)
+    generate_transcripts(spark, 300, partitions=1).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+    seen: set = set()
+    for p in glob.glob(os.path.join(outdir, "Protein-part*.csv")):
+        for line in open(p):
+            nid = line.split(";")[0]
+            assert nid not in seen, f"duplicate {nid} after empty batch"
+            seen.add(nid)
+    committed = json.load(open(os.path.join(outdir, "_stream_meta", "committed.json")))
+    assert committed["checkpoint_id"]
+
+
+def test_stream_kg_refuses_swapped_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    generate_transcripts(spark, 200, partitions=1).write.mode("overwrite").parquet(indir)
+    outdir = str(tmp_path / "kg")
+    stream_kg(spark, indir, outdir, str(tmp_path / "ckptA"), max_files_per_trigger=4).awaitTermination(300)
+    with _pytest.raises(ValueError, match="different stream checkpoint"):
+        stream_kg(spark, indir, outdir, str(tmp_path / "ckptB"))

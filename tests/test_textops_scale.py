@@ -341,3 +341,13 @@ def test_neardup_cluster_representatives(spark):
     clusters = {r["node"]: r["comp"] for r in comp.collect()}
     assert clusters[1] == clusters[2] == clusters[3] == 1
     assert 10 not in clusters  # singleton: no pair membership
+
+
+def test_repetition_zero_bigram_docs_score_zero(spark):
+    """Single-token / empty docs have no bigrams -> NO repetition evidence
+    (regression: 1 - 0/1 scored them 1.0, the maximal-repetition value)."""
+    from biocypher_spark.textops import repetition_signals
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r["dup_word_2gram_frac"] for r in repetition_signals(docs).collect()}
+    assert out == {1: 0.0, 2: 0.0}
