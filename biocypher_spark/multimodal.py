@@ -84,26 +84,144 @@ def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthesize_real_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic media table whose payloads are REAL byte formats
+    (binary PPM images / 16-bit PCM WAV audio), exercising the actual
+    codecs end-to-end rather than the ``fake/*`` stub protocol."""
+    rows = []
+    for i in range(n):
+        if kind == "image":
+            w, h = 8 + (i % 5), 6 + (i % 3)
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(yy * 17 + i) % 256, (xx * 31 + i * 7) % 256, (yy * xx + i * 3) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            content, meta = encode_ppm(px), ("image/ppm", w, h, None, None)
+        else:
+            rate = 8000
+            dur_ms = 1500 + (i % 3) * 700
+            t = np.arange(rate * dur_ms // 1000, dtype=np.float64)
+            wave_f = np.sin(2 * np.pi * (220 + 20 * (i % 8)) * t / rate) * 12000
+            content, meta = encode_wav(wave_f.astype("<i2"), rate), ("audio/wav", None, None, dur_ms, rate)
+        rows.append((f"{kind[0]}{i}", kind if kind == "image" else "audio", bytearray(content), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_decode(content: bytes) -> np.ndarray:
     """Deterministic stand-in for a codec: bytes -> pseudo-pixel vector.
 
-    Real decode (PIL / libsndfile / ffmpeg) is not available in this
-    container; the sha-seeded vector keeps the downstream feature pipeline
-    deterministic and testable. Swap this single function for the real
-    codec in production.
+    Used for the synthetic ``fake/*`` protocol (the oracle corpus, where the
+    payload carries no decodable structure); real byte formats go through
+    :func:`decode_ppm` / :func:`decode_wav` below.
     """
     digest = hashlib.sha256(bytes(content)).digest()
     arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     return (arr[:FEATURE_DIM] / 255.0).astype(np.float32)
 
 
+# -- real codecs (pure stdlib + numpy: PPM P6 images, 16-bit PCM WAV) ---------
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) image into an (h, w, 3) uint8 array.
+
+    Real byte-format decoding with no third-party codec library: ASCII
+    header ``P6 <width> <height> <maxval>`` (whitespace-separated, ``#``
+    comments allowed), then width*height*3 raw bytes. 16-bit-per-sample
+    images (maxval >= 256) are out of scope and raise.
+    """
+    buf = bytes(content)
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster data
+    w, h, maxval = vals
+    if maxval >= 256:
+        raise NotImplementedError("16-bit-per-sample PPM is not supported")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Parse a 16-bit PCM WAV into (sample_rate, (frames, channels) int16)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(content))) as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize an int16 (frames,) or (frames, channels) array as PCM WAV."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    out = io.BytesIO()
+    with wave.open(out, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.ascontiguousarray(arr).tobytes())
+    return out.getvalue()
+
+
+def _block_means(flat: np.ndarray, dim: int) -> np.ndarray:
+    """Mean of ``dim`` near-equal chunks of a 1-D float array (the cheap
+    fixed-size signature a real feature extractor reduces to)."""
+    if flat.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    return np.array(
+        [chunk.mean() if chunk.size else 0.0 for chunk in np.array_split(flat, dim)],
+        dtype=np.float32,
+    )
+
+
 def decode_image(content: bytes, format: Optional[str] = None) -> np.ndarray:
-    if format is not None and not str(format).startswith("fake/"):
-        raise NotImplementedError(
-            f"real codec for format {format!r} is not available in this environment; "
-            "plug a decoder in here (PIL.Image.open / soundfile / av)."
-        )
-    return _fake_decode(content)
+    """Dispatch: ``fake/*`` -> deterministic stub; PPM/WAV -> real byte
+    decode reduced to a FEATURE_DIM float vector in [0, 1]; anything else
+    raises (plug PIL / soundfile / av in here in production)."""
+    fmt = str(format) if format is not None else ""
+    buf = bytes(content)
+    if fmt.startswith("fake/") or (not fmt and not buf[:4] in (b"RIFF",) and not buf.startswith(b"P6")):
+        return _fake_decode(content)
+    if fmt in ("image/ppm", "ppm") or buf.startswith(b"P6"):
+        gray = decode_ppm(buf).astype(np.float32).mean(axis=2) / 255.0
+        return _block_means(gray.ravel(), FEATURE_DIM)
+    if fmt in ("audio/wav", "wav") or buf[:4] == b"RIFF":
+        _rate, frames = decode_wav(buf)
+        mono = frames.astype(np.float32).mean(axis=1) / 32768.0
+        # per-chunk RMS energy: the standard cheap audio signature
+        return np.sqrt(np.maximum(_block_means(mono * mono, FEATURE_DIM), 0.0)).astype(np.float32)
+    raise NotImplementedError(
+        f"real codec for format {format!r} is not available in this environment; "
+        "plug a decoder in here (PIL.Image.open / soundfile / av)."
+    )
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -161,13 +279,27 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             frame_idx = (np.arange(total) - offsets).astype(np.int32)
             frame_ms = (frame_idx.astype(np.int64) * every_ms).astype(np.int32)
             contents = pdf["content"].to_numpy()
-            # stub codec: frame hash = sha256(content || '|' || ms) — the
-            # ASCII suffix keeps it replicable in engines whose sha256 is
-            # string-typed (oracle parity)
-            shas = [
-                hashlib.sha256(bytes(contents[i]) + b"|" + str(int(ms)).encode()).hexdigest()
-                for i, ms in zip(row_idx, frame_ms)
-            ]
+            fmts = [m["format"] if m else None for m in pdf["meta"]]
+            # real PCM WAV payloads hash the ACTUAL sample window (decode
+            # once per row, slice per frame); fake/* payloads keep the stub
+            # hash sha256(content || '|' || ms) — the ASCII suffix keeps it
+            # replicable in engines whose sha256 is string-typed (oracle
+            # parity)
+            decoded: dict[int, tuple[int, np.ndarray]] = {}
+            shas = []
+            for i, ms in zip(row_idx, frame_ms):
+                buf = bytes(contents[i])
+                if buf[:4] == b"RIFF" and not str(fmts[i]).startswith("fake/"):
+                    if i not in decoded:
+                        decoded[i] = decode_wav(buf)
+                    rate, frames = decoded[i]
+                    s0 = int(ms) * rate // 1000
+                    s1 = (int(ms) + every_ms) * rate // 1000
+                    shas.append(hashlib.sha256(frames[s0:s1].tobytes()).hexdigest())
+                else:
+                    shas.append(
+                        hashlib.sha256(buf + b"|" + str(int(ms)).encode()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy()[row_idx],
@@ -213,28 +345,38 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
-    """Resize plumbing: Arrow-batched ``mapInPandas`` producing a
-    width×height thumbnail per row. The pixel decode is the deterministic
-    stub codec (sha256-derived bytes, max 32 px); swap ``_thumb_bytes`` for
-    a real resampler (PIL ``Image.resize``) in production — the Spark-side
-    shape (schema, batching, one row per input) is the real contract."""
+    """Resize: Arrow-batched ``mapInPandas`` producing a width×height
+    thumbnail per row. PPM (P6) payloads go through the REAL decoder and a
+    nearest-neighbor grayscale resample (actual pixel math); ``fake/*``
+    payloads keep the deterministic sha-derived stub (the oracle corpus
+    carries no decodable raster). The Spark-side shape (schema, batching,
+    one row per input) is identical for both."""
     dim = min(width * height, 32)
 
-    def _thumb_bytes(content: bytes) -> list[int]:
-        digest = hashlib.sha256(bytes(content)).digest()
+    def _thumb_bytes(content: bytes, fmt) -> list[int]:
+        buf = bytes(content)
+        if buf.startswith(b"P6") and not str(fmt).startswith("fake/"):
+            px = decode_ppm(buf)
+            h, w = px.shape[:2]
+            ys = (np.arange(height) * h) // height
+            xs = (np.arange(width) * w) // width
+            small = px[ys][:, xs].astype(np.float32).mean(axis=2).round().astype(np.uint8)
+            return [int(v) for v in small.ravel()[:dim]]
+        digest = hashlib.sha256(buf).digest()
         return [int(b) for b in digest[:dim]]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            fmts = [m["format"] if m else None for m in pdf["meta"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "width": width,
                     "height": height,
-                    "thumb": [_thumb_bytes(c) for c in pdf["content"]],
+                    "thumb": [_thumb_bytes(c, f) for c, f in zip(pdf["content"], fmts)],
                 }
             )
 

@@ -122,6 +122,7 @@ def minhash_band_candidates(
     rows_per_band: int = 3,
     elements: Column | None = None,
     est_min_matches: int = 0,
+    size_ratio_min: float | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: ``bands`` × ``rows_per_band`` minhash
     signature; a pair is a candidate when ANY band (the concat of its
@@ -141,6 +142,13 @@ def minhash_band_candidates(
     unbiased Jaccard estimate) falls below ``est_min_matches``/seeds are
     dropped BEFORE the dedup+verify join — the two-tier verify that keeps
     the expensive element arrays off the candidate shuffle.
+
+    With ``size_ratio_min`` set, each band row also carries the element-set
+    cardinality and pairs with ``min(n_a,n_b)/max(n_a,n_b) < size_ratio_min``
+    are pruned: for sets, Jaccard <= min/max cardinality ratio, so passing
+    the verification threshold here is LOSSLESS for a downstream
+    ``jac >= threshold`` filter — one int per row buys skipping the exact
+    array join for every size-incompatible candidate.
     """
     seeds = bands * rows_per_band
     # materialize the element array, then the per-element 32-bit hashes, as
@@ -153,16 +161,23 @@ def minhash_band_candidates(
     # form one 10^12-row bucket. An empty set has no meaningful Jaccard
     # similarity anyway, so such docs are excluded from candidacy (the
     # oracle applies the same predicate).
-    hashed = df.select(
-        "doc_id",
-        F.transform(elem_col, element_hash32).alias("_h"),
-    ).filter(F.size("_h") > 0)
+    hash_cols = ["doc_id", F.transform(elem_col, element_hash32).alias("_h")]
+    if size_ratio_min is not None:
+        # DISTINCT element cardinality, from the raw elements (not the 32-bit
+        # hashes, whose collisions could undercount and break losslessness):
+        # downstream Jaccard verifiers compare distinct sets, so the
+        # min/max bound must use set cardinalities — a doc of one token
+        # repeated 10x has multiset size 10 but set size 1
+        hash_cols.append(F.size(F.array_distinct(elem_col)).alias("_n"))
+    hashed = df.select(*hash_cols).filter(F.size("_h") > 0)
 
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
 
+    size_carry = ["_n"] if size_ratio_min is not None else []
     sigs = hashed.select(
         "doc_id",
+        *size_carry,
         *[
             F.array_min(F.transform("_h", affine(a, b))).alias(f"sig{i}")
             for i, (a, b) in enumerate(minhash_affine_params(seeds))
@@ -185,20 +200,33 @@ def minhash_band_candidates(
         )
         for b in range(bands)
     ]
-    sig_vec = F.array(*[F.col(f"sig{i}") for i in range(seeds)])
-    carry = [sig_vec.alias("sigv")] if est_min_matches > 0 else []
+    # carry the signatures as INDIVIDUAL int columns (not an array): the
+    # agreement estimate below then compiles to a whole-stage-codegen sum of
+    # int equality flags evaluated per candidate pair — an array + zip_with
+    # formulation runs interpreted HOF lambdas over EVERY band-collision
+    # pair (the 100x-larger pre-filter set), which measured ~2x slower on
+    # the whole query
+    sig_names = [f"sig{i}" for i in range(seeds)] if est_min_matches > 0 else []
+    carry_names = sig_names + (["_n"] if size_carry else [])
     assigned = (
-        sigs.select("doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", *(["sigv"] if carry else []), F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        sigs.select("doc_id", *carry_names, F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", *carry_names, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
         .localCheckpoint()
     )
-    a_cols = ["band", "bkey", F.col("doc_id").alias("doc_a")] + ([F.col("sigv").alias("_sa")] if carry else [])
-    c_cols = ["band", "bkey", F.col("doc_id").alias("doc_b")] + ([F.col("sigv").alias("_sb")] if carry else [])
+    a_cols = ["band", "bkey", F.col("doc_id").alias("doc_a")] + [F.col(s).alias(f"_a{s}") for s in sig_names] + ([F.col("_n").alias("_na")] if size_carry else [])
+    c_cols = ["band", "bkey", F.col("doc_id").alias("doc_b")] + [F.col(s).alias(f"_b{s}") for s in sig_names] + ([F.col("_n").alias("_nb")] if size_carry else [])
     a = assigned.select(*a_cols)
     c = assigned.select(*c_cols)
     pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
+    if size_ratio_min is not None:
+        # cheapest filter first: two int comparisons per pair
+        ratio = F.least("_na", "_nb") / F.greatest("_na", "_nb")
+        pairs = pairs.filter(ratio >= size_ratio_min)
     if est_min_matches > 0:
-        agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v))
+        agree = sum(
+            (F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0) for s in sig_names),
+            start=F.lit(0),
+        )
         pairs = pairs.filter(agree >= est_min_matches)
     return pairs.select("doc_a", "doc_b").distinct()
 
@@ -220,39 +248,67 @@ def minhash_banded_pairs(
     """Token-set near-dup pairs: banded-minhash candidates, exact Jaccard
     re-verification >= threshold. With ``est_slack`` set, candidates whose
     signature-agreement Jaccard estimate is below threshold - est_slack are
-    pruned before the exact array join. Returns (doc_a, doc_b, jac)."""
+    pruned before the exact array join. Returns (doc_a, doc_b, jac).
+
+    The size-ratio prefilter (Jaccard >= t implies min/max cardinality
+    ratio >= t) additionally drops size-incompatible candidates before the
+    exact join — lossless for the final ``jac >= threshold`` filter."""
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
-    cand = minhash_band_candidates(df, text_col, bands, rows_per_band, est_min_matches=emm)
+    cand = minhash_band_candidates(
+        df, text_col, bands, rows_per_band, est_min_matches=emm, size_ratio_min=threshold
+    )
     toks = F.array_distinct(F.array_sort(tokens(F.col(text_col))))
     base = df.select("doc_id", toks.alias("toks"))
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size(F.array_union("ta", "tb"))
-    jac = F.round(inter / union, 6)
-    return (
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one hash-set build
+    # per pair instead of two (array_union was half the verify cost)
+    inner = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("_i"),
+            F.size("ta").alias("_x"),
+            F.size("tb").alias("_y"),
+        )
     )
+    jac = F.round(F.col("_i") / (F.col("_x") + F.col("_y") - F.col("_i")), 6)
+    return inner.select("doc_a", "doc_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over the token multiset: bit i set when the sum of ±1 votes
     from md5-derived token bits is >= 0. Returns (doc_id, simhash).
-    Token md5s are materialized once (see simhash64)."""
-    hexes = F.transform(tokens(F.col(text_col)), lambda t: F.md5(t))
-    base = df.select("doc_id", hexes.alias("_hx"))
 
-    def voter(pos: int, shift: int):
-        return lambda acc, h: acc + _vote_from_hex(h, pos, shift)
+    Same shape as :func:`simhash64` (explode -> md5 once per token -> the
+    first ``bits/4`` hex digits packed into ONE int via conv() -> a single
+    hash aggregate with ``bits`` sum() expressions whose votes are
+    shift/mask extractions). Spark's higher-order-function lambdas evaluate
+    interpreted, outside whole-stage codegen, so the previous 16 per-bit
+    ``F.aggregate`` folds were ~6x slower than this exploded groupBy. Bit
+    semantics are unchanged (bit i = bit ``3 - i%4`` of hex digit
+    ``i//4 + 1``) — the DuckDB oracle still computes the digit-decode form.
+    """
+    assert bits % 4 == 0 and bits <= 32
+    ndigits = bits // 4
+    packed = (
+        df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("_t"))
+        .select("doc_id", F.conv(F.substring(F.md5("_t"), 1, ndigits), 16, 10).cast("long").alias("_w"))
+    )
 
+    def vote(i: int) -> Column:
+        digit = i // 4 + 1  # 1-based hex digit position
+        shift = 3 - i % 4  # bit within the digit
+        offset = 4 * (ndigits - digit) + shift
+        return F.shiftright(F.col("_w"), offset).bitwiseAND(F.lit(1)) * 2 - 1
+
+    sums = packed.groupBy("doc_id").agg(*[F.sum(vote(i)).alias(f"_s{i}") for i in range(bits)])
     total = F.lit(0)
     for i in range(bits):
-        s = F.aggregate(F.col("_hx"), F.lit(0), voter(i // 4 + 1, 3 - i % 4))
-        total = total + F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return base.select("doc_id", total.alias("simhash"))
+        total = total + F.when(F.col(f"_s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select("doc_id", total.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -276,32 +332,31 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(F.col(text_col), n)
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
-    cand = minhash_band_candidates(df, text_col, bands, rows_per_band, elements=sh, est_min_matches=emm)
+    cand = minhash_band_candidates(
+        df, text_col, bands, rows_per_band, elements=sh, est_min_matches=emm,
+        size_ratio_min=threshold,
+    )
     base = df.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    jac = F.round(inter / union, 6)
-    return (
+    # union-free Jaccard (|A|+|B|-|A∩B|): one hash-set build per pair
+    inner = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("_i"),
+            F.size("sa").alias("_x"),
+            F.size("sb").alias("_y"),
+        )
     )
+    jac = F.round(F.col("_i") / (F.col("_x") + F.col("_y") - F.col("_i")), 6)
+    return inner.select("doc_a", "doc_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
 
 
 _HEX = "0123456789abcdef"
 _POPCOUNT4 = "0112122312232334"  # popcount lookup for a 4-bit value
-
-
-def _vote_from_hex(h: Column, pos: int, shift: int) -> Column:
-    """±1 vote from a PRE-COMPUTED md5 hex string (md5 hoisted out of the
-    per-bit aggregates: hashing each token once instead of once per bit is
-    a 64x md5 saving for simhash64)."""
-    digit = F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1
-    bit = F.shiftright(digit, shift).bitwiseAND(F.lit(1))
-    return bit * 2 - 1
 
 
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -379,14 +434,27 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("_ha"))
-    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("_hb"))
+    # Hamming verify on PACKED words: each 16-hex-char hash becomes two
+    # 32-bit ints (one conv() each, done once per doc on the tiny sig table),
+    # then per candidate pair the distance is xor + 8 shift/mask nibble
+    # popcount lookups per word — all integer codegen. The previous
+    # formulation decoded 16 hex digits per side per pair with
+    # instr+substring string ops (~4x more expression work on the pair
+    # table, which is the big side of this query).
+    def _words(col: str, prefix: str):
+        return [
+            F.conv(F.substring(col, 1 + 8 * w, 8), 16, 10).cast("long").alias(f"{prefix}{w}")
+            for w in range(2)
+        ]
+
+    ha = sh.select(F.col("doc_id").alias("doc_a"), *_words("simhash64", "_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), *_words("simhash64", "_b"))
     hamming = F.lit(0)
-    for k in range(16):
-        na = F.instr(F.lit(_HEX), F.substring("_ha", k + 1, 1)) - 1
-        nb = F.instr(F.lit(_HEX), F.substring("_hb", k + 1, 1)) - 1
-        x = na.bitwiseXOR(nb)
-        hamming = hamming + F.substr(F.lit(_POPCOUNT4), x + 1, F.lit(1)).cast("int")
+    for w in range(2):
+        x = F.col(f"_a{w}").bitwiseXOR(F.col(f"_b{w}"))
+        for k in range(8):
+            nib = F.shiftright(x, 4 * k).bitwiseAND(F.lit(15))
+            hamming = hamming + F.substr(F.lit(_POPCOUNT4), nib + 1, F.lit(1)).cast("int")
     return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")

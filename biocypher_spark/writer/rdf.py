@@ -40,16 +40,38 @@ def _iri(namespace: str, col):
     return F.concat(F.lit(f"<{namespace}"), safe, F.lit(">"))
 
 
+def _safe_id(col):
+    """IRI-safe local name (same character policy as :func:`_iri`)."""
+    return F.regexp_replace(col, "[^a-zA-Z0-9_.:-]", "_")
+
+
+def _escape_xml(col):
+    """XML text-content escaping (property literals land in element text, so
+    only the three mandatory entities are needed; IRIs in attributes are
+    already sanitized to [a-zA-Z0-9_.:-])."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def _xml_name(col):
+    """XML element-name-safe property key."""
+    return F.regexp_replace(col, "[^a-zA-Z0-9_-]", "_")
+
+
 TURTLE_FORMATS = ("turtle", "ttl")
-SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS
+XML_FORMATS = ("xml", "rdf/xml", "pretty-xml")
+SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS + XML_FORMATS
 
 
 class RDFWriter:
-    """``rdf_format``: ``ntriples`` (default; line-oriented, the scale path)
-    or ``turtle`` (same triples with @prefix header and prefixed names,
-    serialized from string templates — reference ``_RDFWriter`` formats
-    beyond these need rdflib vocabulary handling, which is unavailable
-    here; requesting one raises with that explanation)."""
+    """``rdf_format``: ``ntriples`` (default; line-oriented, the scale path),
+    ``turtle`` (same triples with @prefix header and prefixed names), or
+    ``xml`` (RDF/XML, one ``rdf:Description`` block per row, serialized from
+    string templates — the schema-regular subset the reference's rdflib
+    serializer emits for this data model; reference ``_RDFWriter`` formats
+    beyond these, e.g. json-ld, need rdflib vocabulary handling, which is
+    unavailable here; requesting one raises with that explanation)."""
 
     def __init__(
         self,
@@ -63,20 +85,31 @@ class RDFWriter:
             raise ValueError(
                 f"rdf_format {rdf_format!r} not supported: only {SUPPORTED_FORMATS} can be "
                 "emitted without rdflib (absent in this environment); the reference's "
-                "xml/json-ld serializations need rdflib vocabulary handling"
+                "json-ld serialization needs rdflib vocabulary handling"
             )
         self.spark = spark
         self.translator = translator
         self.outdir = output_directory
         self.ns = namespace
         self.turtle = rdf_format in TURTLE_FORMATS
+        self.xml = rdf_format in XML_FORMATS
         os.makedirs(self.outdir, exist_ok=True)
 
     @property
     def _ext(self) -> str:
-        return "ttl" if self.turtle else "nt"
+        if self.turtle:
+            return "ttl"
+        return "xml" if self.xml else "nt"
 
     def _header(self) -> str:
+        if self.xml:
+            return (
+                '<?xml version="1.0" encoding="utf-8"?>\n'
+                "<rdf:RDF\n"
+                f'   xmlns:bc="{self.ns}"\n'
+                '   xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+                ">\n"
+            )
         return (
             f"@prefix bc: <{self.ns}> .\n"
             "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n\n"
@@ -87,10 +120,12 @@ class RDFWriter:
         lines.coalesce(1).write.mode("overwrite").text(tmp)
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         target = os.path.join(self.outdir, filename)
-        if self.turtle:
+        if self.turtle or self.xml:
             with open(target, "w") as out, open(part) as src:
                 out.write(self._header())
                 shutil.copyfileobj(src, out)
+                if self.xml:
+                    out.write("</rdf:RDF>\n")
             os.remove(part)
         else:
             shutil.move(part, target)
@@ -123,23 +158,50 @@ class RDFWriter:
         labels = [r[0] for r in nodes.select("node_label").distinct().collect()]
         for label in labels:
             sub = nodes.filter(F.col("node_label") == label)
-            subject = self._term(F.col("node_id"))
-            cls = self._const(sentence_to_pascal(label))
-            type_line = F.concat(subject, F.lit(f" {self._rdf_type} {cls} ."))
-            prop_lines = F.transform(
-                F.map_entries("props"),
-                lambda e: F.concat(
-                    subject,
-                    F.lit(" "),
-                    self._term(e["key"]),
-                    F.lit(' "'),
-                    _escape_literal(json_pystr(e["value"])),
-                    F.lit('" .'),
-                ),
-            )
-            lines = sub.select(
-                F.explode(F.concat(F.array(type_line), prop_lines)).alias("value")
-            )
+            pascal = sentence_to_pascal(label)
+            if self.xml:
+                prop_els = F.concat_ws(
+                    "",
+                    F.transform(
+                        F.map_entries("props"),
+                        lambda e: F.concat(
+                            F.lit("    <bc:"),
+                            _xml_name(e["key"]),
+                            F.lit(">"),
+                            _escape_xml(json_pystr(e["value"])),
+                            F.lit("</bc:"),
+                            _xml_name(e["key"]),
+                            F.lit(">\n"),
+                        ),
+                    ),
+                )
+                block = F.concat(
+                    F.lit(f'  <rdf:Description rdf:about="{self.ns}'),
+                    _safe_id(F.col("node_id")),
+                    F.lit('">\n'),
+                    F.lit(f'    <rdf:type rdf:resource="{self.ns}{pascal}"/>\n'),
+                    prop_els,
+                    F.lit("  </rdf:Description>"),
+                )
+                lines = sub.select(block.alias("value"))
+            else:
+                subject = self._term(F.col("node_id"))
+                cls = self._const(pascal)
+                type_line = F.concat(subject, F.lit(f" {self._rdf_type} {cls} ."))
+                prop_lines = F.transform(
+                    F.map_entries("props"),
+                    lambda e: F.concat(
+                        subject,
+                        F.lit(" "),
+                        self._term(e["key"]),
+                        F.lit(' "'),
+                        _escape_literal(json_pystr(e["value"])),
+                        F.lit('" .'),
+                    ),
+                )
+                lines = sub.select(
+                    F.explode(F.concat(F.array(type_line), prop_lines)).alias("value")
+                )
             written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}"))
         return written
 
@@ -148,16 +210,39 @@ class RDFWriter:
         labels = [r[0] for r in edges.select("relationship_label").distinct().collect()]
         for label in labels:
             sub = edges.filter(F.col("relationship_label") == label)
-            pred = self._const(sentence_to_pascal(label))
-            src = self._term(F.col("source_id"))
-            tgt = self._term(F.col("target_id"))
-            direct = F.concat(src, F.lit(f" {pred} "), tgt, F.lit(" ."))
-            rel = self._term(F.col("relationship_id"))
-            reified = F.concat(
-                rel, F.lit(f" {self._rdf_type} {pred} .\n"),
-                rel, F.lit(f" {self._rdf_subject} "), src, F.lit(" .\n"),
-                rel, F.lit(f" {self._rdf_object} "), tgt, F.lit(" ."),
-            )
+            pascal = sentence_to_pascal(label)
+            if self.xml:
+                res = lambda col: F.concat(F.lit(f'rdf:resource="{self.ns}'), _safe_id(col), F.lit('"'))  # noqa: E731
+                direct = F.concat(
+                    F.lit(f'  <rdf:Description rdf:about="{self.ns}'),
+                    _safe_id(F.col("source_id")),
+                    F.lit('">\n'),
+                    F.lit(f"    <bc:{pascal} "),
+                    res(F.col("target_id")),
+                    F.lit("/>\n  </rdf:Description>"),
+                )
+                reified = F.concat(
+                    F.lit(f'  <rdf:Description rdf:about="{self.ns}'),
+                    _safe_id(F.col("relationship_id")),
+                    F.lit('">\n'),
+                    F.lit(f'    <rdf:type rdf:resource="{self.ns}{pascal}"/>\n'),
+                    F.lit("    <rdf:subject "),
+                    res(F.col("source_id")),
+                    F.lit("/>\n    <rdf:object "),
+                    res(F.col("target_id")),
+                    F.lit("/>\n  </rdf:Description>"),
+                )
+            else:
+                pred = self._const(pascal)
+                src = self._term(F.col("source_id"))
+                tgt = self._term(F.col("target_id"))
+                direct = F.concat(src, F.lit(f" {pred} "), tgt, F.lit(" ."))
+                rel = self._term(F.col("relationship_id"))
+                reified = F.concat(
+                    rel, F.lit(f" {self._rdf_type} {pred} .\n"),
+                    rel, F.lit(f" {self._rdf_subject} "), src, F.lit(" .\n"),
+                    rel, F.lit(f" {self._rdf_object} "), tgt, F.lit(" ."),
+                )
             lines = sub.select(
                 F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
             )

@@ -122,7 +122,33 @@ def test_rdf_writer_unsupported_format(spark, translator, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="rdflib"):
-        RDFWriter(spark, translator, str(tmp_path), rdf_format="xml")
+        RDFWriter(spark, translator, str(tmp_path), rdf_format="json-ld")
+
+
+def test_rdf_writer_xml(spark, translator, tmp_path):
+    """RDF/XML serialization (reference _rdf.py format switch): one
+    rdf:Description block per subject, rdf:resource attributes for IRIs,
+    escaped literals in property elements, well-formed document."""
+    out = tmp_path / "xml"
+    w = RDFWriter(spark, translator, str(out), rdf_format="xml")
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    xml = read(out / "Protein.xml")
+    assert xml.startswith('<?xml version="1.0" encoding="utf-8"?>')
+    assert '<rdf:Description rdf:about="https://biocypher.org/biocypher#p1">' in xml
+    assert '<rdf:type rdf:resource="https://biocypher.org/biocypher#Protein"/>' in xml
+    assert "<bc:name>" in xml and xml.rstrip().endswith("</rdf:RDF>")
+    # well-formed per the stdlib parser; Description count = node count
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)
+    descs = root.findall("{http://www.w3.org/1999/02/22-rdf-syntax-ns#}Description")
+    assert len(descs) == 2
+    ent = read(out / "PERTURBED_IN_DISEASE.xml")
+    ET.fromstring(ent)
+    assert "<rdf:subject rdf:resource=" in ent and "<rdf:object rdf:resource=" in ent
 
 
 def test_ontology_graphml_export(tmp_path):
