@@ -1355,6 +1355,46 @@ def doc_contamination(spark, sf_dir):
     return contamination_check(_t(spark, sf_dir, "documents"), _CONTAMINATION_PROBES)
 
 
+# the join-path probe table is derived FROM THE CORPUS (substr of every
+# 23rd doc), so the screen has true positives at every scale without
+# external data; length 12 ~ a short eval n-gram
+_CJ_LEN = 12
+
+
+def _contamination_join_oracle() -> str:
+    return f"""
+    WITH probes AS (
+      SELECT DISTINCT substr(text, 5, {_CJ_LEN}) AS probe FROM documents
+      WHERE doc_id % 23 = 0 AND length(substr(text, 5, {_CJ_LEN})) = {_CJ_LEN}),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        [substr(text, i, {_CJ_LEN}) for i in generate_series(1, greatest(length(text) - {_CJ_LEN - 1}, 1))],
+        s -> length(s) = {_CJ_LEN}))) AS g
+      FROM documents),
+    hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN probes ON grams.g = probes.probe)
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+
+
+@register("doc_contamination_join", _contamination_join_oracle())
+def doc_contamination_join(spark, sf_dir):
+    """Large-probe-set contamination screen: corpus char n-grams LEFT SEMI
+    joined against a probe table built from the corpus itself (see
+    textops.contamination_join; exact `contains` semantics, document
+    bodies never shuffle)."""
+    from .textops import contamination_join
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") % 23 == 0)
+        .select(F.substring("text", 5, _CJ_LEN).alias("probe"))
+        .filter(F.length("probe") == _CJ_LEN)
+        .distinct()
+    )
+    return contamination_join(docs, probes)
+
+
 @register(
     "kg_hyperedges",
     """

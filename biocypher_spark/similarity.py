@@ -131,32 +131,76 @@ def lsh_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 4, vec_col: str = "embedding") -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = 4, vec_col: str = "embedding", cents: list | None = None
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its max-cosine centroid.
 
-    Centroids here are the ``n_centroids`` lowest-vec_id vectors — a
-    deterministic stand-in for trained k-means centroids (in production,
-    inject trained centroids; the assignment plan is identical). Centroids
-    are collected driver-side (k × dims floats) and inlined as literals, so
-    assignment is a single narrow projection over the corpus — no join, no
-    shuffle. Ties break to the lowest centroid id.
+    Default centroids are the ``n_centroids`` lowest-vec_id vectors — a
+    deterministic, oracle-replicable seed; pass ``cents`` (k × dims floats,
+    e.g. from :func:`train_ivf_centroids`) for a trained quantizer — the
+    assignment plan is identical. Centroids live driver-side (k × dims
+    floats) and are inlined as literals, so assignment is a single narrow
+    projection over the corpus — no join, no shuffle. Ties break to the
+    lowest centroid id.
     """
-    cents = _collect_centroids(embeddings, n_centroids, vec_col)
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, vec_col)
     return embeddings.select("vec_id", _ivf_cluster_expr(cents, vec_col).alias("cluster"))
 
 
 def _collect_centroids(embeddings: DataFrame, n_centroids: int, vec_col: str) -> list:
     """The ``n_centroids`` lowest-vec_id vectors (TakeOrdered — no full
-    sort), independent of whether ids are dense or zero-based."""
+    sort), independent of whether ids are dense or zero-based; returned as
+    plain float lists."""
     cents = embeddings.orderBy("vec_id").limit(n_centroids).select(vec_col).collect()
     if not cents:
         raise ValueError("ivf: embeddings frame is empty, cannot derive centroids")
+    return [[float(x) for x in row[0]] for row in cents]
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 4,
+    iterations: int = 4,
+    vec_col: str = "embedding",
+) -> list:
+    """Seeded Lloyd's k-means for the IVF coarse quantizer, run IN Spark.
+
+    Init = the deterministic lowest-vec_id seed; each iteration assigns
+    every vector to its max-cosine centroid via the inline expression (no
+    join) and recomputes per-cluster per-dimension means with ONE hash
+    aggregate (``dims`` sum() columns + a count — all whole-stage codegen;
+    the shuffle carries k rows of partial aggregates, nothing else). An
+    emptied cluster keeps its previous centroid. Returns k × dims floats
+    ready to inject into :func:`ivf_assign` / :func:`ivf_topk`.
+
+    Scale: per iteration exactly one corpus scan and a k-row shuffle —
+    the canonical distributed Lloyd step.
+    """
+    cents = _collect_centroids(embeddings, n_centroids, vec_col)
+    dims = len(cents[0])
+    for _ in range(iterations):
+        assigned = embeddings.select(
+            _ivf_cluster_expr(cents, vec_col).alias("cluster"), F.col(vec_col).alias("_v")
+        )
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_c"),
+            *[
+                F.sum(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"_s{i}")
+                for i in range(dims)
+            ],
+        ).collect()
+        new = [list(c) for c in cents]
+        for row in stats:
+            new[row["cluster"]] = [row[f"_s{i}"] / row["_c"] for i in range(dims)]
+        cents = new
     return cents
 
 
 def _ivf_cluster_expr(cents, vec_col: str) -> Column:
     cos_cols = [
-        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in row[0]])) for row in cents
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])) for vec in cents
     ]
     best = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
     expr = F.when(cos_cols[0] == best, F.lit(0))
@@ -172,22 +216,26 @@ def ivf_topk(
     n_centroids: int = 4,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF ANN: score only the ``nprobe`` inverted lists closest to the
     query. Probe selection runs on the (tiny) centroid set; the corpus scan
-    is pruned to the probed clusters before the exact cosine top-k."""
+    is pruned to the probed clusters before the exact cosine top-k. Pass
+    ``cents`` (e.g. from :func:`train_ivf_centroids`) for a trained
+    quantizer."""
     qrows = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()
     if not qrows:
         raise ValueError(f"ivf: query vec_id {query_vec_id} not found")
     qvec = F.array(*[F.lit(float(x)) for x in qrows[0][0]])
-    cents = _collect_centroids(embeddings, n_centroids, vec_col)
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, vec_col)
     # rank centroids for the query INSIDE Spark arithmetic (same fold order
     # as assignment) on a one-row frame, then collect the probe ids
     spark = embeddings.sparkSession
     one = spark.range(1)
     probe_cols = [
-        cosine(qvec, F.array(*[F.lit(float(x)) for x in row[0]])).alias(f"c{j}")
-        for j, row in enumerate(cents)
+        cosine(qvec, F.array(*[F.lit(float(x)) for x in vec])).alias(f"c{j}")
+        for j, vec in enumerate(cents)
     ]
     scores = one.select(*probe_cols).collect()[0]
     probes = [j for j, _ in sorted(enumerate(scores), key=lambda js: (-js[1], js[0]))[:nprobe]]

@@ -635,6 +635,42 @@ def contamination_check(df: DataFrame, probes: list, text_col: str = "text") -> 
     return df.select("doc_id", hit.alias("contaminated"))
 
 
+def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text", probe_col: str = "probe") -> DataFrame:
+    """Benchmark-contamination screen for probe sets too large to inline
+    (millions of eval n-grams): semi-join the corpus's character n-grams
+    against a probe table, with EXACTLY the ``contains`` semantics of
+    :func:`contamination_check` — a document is contaminated iff any of its
+    length-L substrings equals a probe of length L.
+
+    Scale shape: the driver collects only the DISTINCT PROBE LENGTHS (a
+    handful of ints, never the probes); the corpus is exploded into its
+    distinct per-document character L-grams for those lengths (linear in
+    corpus bytes, rows are (doc_id, short-string) — document bodies never
+    shuffle) and LEFT SEMI joined against the probe strings. Small probe
+    tables broadcast (AQE); large ones shuffle on the gram, the exact-join
+    decontamination path used for real eval-set screens.
+    """
+    lengths = sorted(
+        r[0]
+        for r in probes.select(F.length(probe_col).alias("l")).distinct().collect()
+        if r[0] and r[0] > 0
+    )
+    if not lengths:
+        return df.select("doc_id", F.lit(False).alias("contaminated"))
+    gram_arrays = [shingles(F.col(text_col), n) for n in lengths]
+    grams = df.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+    )
+    probe_keys = probes.select(F.col(probe_col).alias("g")).distinct()
+    hits = grams.join(probe_keys, "g", "semi").select("doc_id").distinct()
+    return (
+        df.select("doc_id")
+        .join(hits.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict,

@@ -199,6 +199,48 @@ def test_ivf_assign_and_topk(spark):
     assert all(assign[r["vec_id"]] == assign[7] for r in near)
 
 
+def test_ivf_trained_centroids(spark):
+    """Lloyd's training actually trains: trained centroids differ from the
+    lowest-vec_id seed, change at least one assignment on a corpus built to
+    confound the seed, and assignments with trained centroids are exactly
+    the k natural clusters."""
+    import math
+
+    from biocypher_spark.similarity import (
+        _collect_centroids,
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    def vec(seed, jitter, dims=16):
+        return [math.sin(seed * 17 + i) + 0.05 * math.sin(jitter * 7 + i) for i in range(dims)]
+
+    # 3 natural clusters, but the 4 lowest vec_ids all come from cluster 0,
+    # so the untrained seed puts 4 centroids inside one cluster
+    rows = [(i, vec(0, i)) for i in range(10)]
+    rows += [(100 + i, vec(1, i)) for i in range(10)]
+    rows += [(200 + i, vec(2, i)) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed_cents = _collect_centroids(emb, 3, "embedding")
+    trained = train_ivf_centroids(emb, n_centroids=3, iterations=4)
+    assert trained != seed_cents  # it actually moved
+    untrained = {r["vec_id"]: r["cluster"] for r in ivf_assign(emb, n_centroids=3).collect()}
+    with_trained = {
+        r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cents=trained).collect()
+    }
+    assert untrained != with_trained
+    # trained quantizer separates the three natural clusters exactly
+    groups = {}
+    for vid, cl in with_trained.items():
+        groups.setdefault(vid // 100, set()).add(cl)
+    assert all(len(s) == 1 for s in groups.values())
+    assert len({next(iter(s)) for s in groups.values()}) == 3
+    # injecting the same centroids into topk probes consistently
+    near = ivf_topk(emb, query_vec_id=105, k=3, nprobe=1, cents=trained).collect()
+    assert all(100 <= r["vec_id"] < 200 for r in near)
+
+
 def test_connected_components_driver_path_matches_distributed(spark):
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{(i * 7) % 40:02d}") for i in range(40)] + [("x1", "x2")],
@@ -301,6 +343,32 @@ def test_contamination_check(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, ["brown fox", "zzz"]).collect()}
     assert out == {1: True, 2: False}
+
+
+def test_contamination_join_equals_literal_path(spark):
+    """The large-probe semi-join path and the inlined-literal fast path are
+    the same screen: identical (doc_id, contaminated) on the same probes,
+    including mixed probe lengths and probe-free corpora."""
+    from biocypher_spark.textops import contamination_check, contamination_join
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "clean text entirely"),
+        (3, "short"),
+        (4, "brown fox at a boundary brown fo"),
+        (5, "xbrown foxx embedded"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = ["brown fox", "zzz", "short", "jumps"]
+    probes_df = spark.createDataFrame([(p,) for p in probes], "probe string")
+    literal = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, probes).collect()}
+    joined = {r["doc_id"]: r["contaminated"] for r in contamination_join(docs, probes_df).collect()}
+    assert literal == joined
+    assert literal == {1: True, 2: False, 3: True, 4: True, 5: True}
+    # empty probe table: nothing is contaminated, no explode runs
+    empty = spark.createDataFrame([], "probe string")
+    out = {r["doc_id"]: r["contaminated"] for r in contamination_join(docs, empty).collect()}
+    assert out == {i: False for i in range(1, 6)}
 
 
 def test_stratified_sample_deterministic_rates(spark):
