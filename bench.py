@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_repetition",
     "doc_contamination",
+    "doc_contamination_join",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_near_dup",
@@ -148,10 +149,15 @@ def scaling_worker(cores: int, n_turns: int) -> None:
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     path = materialize_input(spark, n_turns)
-    # warm-up: codegen compilation + Python worker spawn are one-time JVM
+    # warm-up 1: codegen compilation + Python worker spawn are one-time JVM
     # costs (~10 s) that would otherwise add an equal absolute constant to
     # both core counts and understate the true scaling ratio
     run_pipeline_job(spark, n_turns // 20, input_path=None)
+    # warm-up 2: touch the input parquet end-to-end (scan to noop) so the
+    # timed run reads hot page cache — the FIRST round's low-core run
+    # otherwise pays the only cold read of the round set, which deflates
+    # its baseline and manufactures fake super-linear efficiency
+    spark.read.parquet(path).write.mode("overwrite").format("noop").save()
     stats = run_pipeline_job(spark, n_turns, input_path=path)
     print("SCALING_RESULT " + json.dumps(stats))
     spark.stop()
@@ -202,12 +208,16 @@ def run_scaling(n_turns: int) -> dict:
         return None
 
     # PAIRED rounds: the shared host's capacity drifts on ~10-minute
-    # timescales, so each round runs N then 4N back-to-back and yields its
-    # own efficiency estimate. The reported round is the one with the
-    # FASTEST N-core baseline — i.e. the quietest window for the level whose
-    # contention INFLATES the ratio (a slowed 2-core run manufactures
-    # superlinear "efficiency"; a slowed 8-core run only understates it, the
-    # conservative direction). Every round is reported for honesty.
+    # timescales, so each round runs N then 4N back-to-back. Ambient
+    # contention on this host is strictly ADDITIVE (steal/sys time on top of
+    # the job's own work), so for each parallelism level the MINIMUM time
+    # across rounds is the best estimate of its uncontended cost — the
+    # standard best-of-N timing protocol (timeit's documented rationale).
+    # The reported efficiency is computed from those per-level minima; the
+    # round-2 per-round pairing could not tell hi-side contention (which
+    # understates the ratio) from lo-side contention (which inflates it),
+    # and selecting any single round inherits whichever distortion that
+    # round had. Every per-round efficiency is still reported for honesty.
     rounds = []
     for _ in range(repeats):
         s_lo = run_worker(lo)
@@ -216,12 +226,18 @@ def run_scaling(n_turns: int) -> dict:
             eff = round((s_hi["turns_per_sec"] / s_lo["turns_per_sec"]) / (hi / lo), 3)
             rounds.append({"lo": s_lo, "hi": s_hi, "efficiency": eff})
     if rounds:
-        best = max(rounds, key=lambda r: r["lo"]["turns_per_sec"])
-        out[f"local{lo}"] = best["lo"]
-        out[f"local{hi}"] = best["hi"]
-        out["efficiency"] = best["efficiency"]
+        best_lo = min((r["lo"] for r in rounds), key=lambda s: s["sec"])
+        best_hi = min((r["hi"] for r in rounds), key=lambda s: s["sec"])
+        out[f"local{lo}"] = best_lo
+        out[f"local{hi}"] = best_hi
+        out["efficiency"] = round(
+            (best_hi["turns_per_sec"] / best_lo["turns_per_sec"]) / (hi / lo), 3
+        )
         out["efficiency_rounds"] = [r["efficiency"] for r in rounds]
-        out["selection"] = "round with fastest N-core baseline (conservative)"
+        out["selection"] = (
+            "per-level minimum across interleaved rounds (additive contention: "
+            "min estimates uncontended cost of each level)"
+        )
     return out
 
 
@@ -243,24 +259,39 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     queries["kg_translate_nodes"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     queries["kg_extract_mentions"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    # each query is timed HEADLINE_REPEATS times and reported as the
+    # minimum: ambient host contention is additive (this box swings ±2x on
+    # ~10-minute timescales), so min-of-N is the reproducible estimate of
+    # the query's own cost — and the first run of a query additionally pays
+    # its Janino codegen compile, which is a per-expression-shape constant,
+    # not per-datum work
+    repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        # noop sink forces evaluation of EVERY output column — .count() lets
-        # Catalyst prune projection-only queries down to a row count, which
-        # under-measures map-side operators
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            # noop sink forces evaluation of EVERY output column — .count()
+            # lets Catalyst prune projection-only queries down to a row
+            # count, which under-measures map-side operators
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
 
     # in-session pipeline figure at a moderate size; the scaling section
     # below carries the full-size N vs 4N evidence. First run is the
-    # codegen/worker warm-up; the second is the steady-state figure a
-    # long-running job sees.
+    # codegen/worker warm-up; the reported figure is the min of the
+    # following runs (the steady-state cost a long-running job sees,
+    # insulated from ambient swings the same way as the headline queries).
     inline_turns = min(SCALING_TURNS, 2_000_000)
     inline_path = materialize_input(spark, inline_turns)
     run_pipeline_job(spark, inline_turns, input_path=inline_path)
-    pipeline = run_pipeline_job(spark, inline_turns, input_path=inline_path)
+    pipeline = min(
+        (run_pipeline_job(spark, inline_turns, input_path=inline_path) for _ in range(repeats)),
+        key=lambda s: s["sec"],
+    )
     timings["kg_pipeline_e2e"] = pipeline["sec"]
     spark.stop()
 

@@ -42,8 +42,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the cluster width. At scale inputs arrive in thousands of splits and
     # this is a no-op — the guard only fixes the small-file/CPU-bound
     # mismatch, it never adds a shuffle to an already-parallel scan.
+    # Split-count is estimated from the FILE SIZES (driver-side stat of
+    # df.inputFiles(), a planning-time constant) — probing
+    # df.rdd.getNumPartitions() would force a DataFrame->RDD conversion
+    # plan per registered query.
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    max_bytes = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    try:
+        import os
+
+        total = sum(os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles())
+    except OSError:
+        return df
+    if -(-total // max_bytes) < target:
         return df.repartition(target)
     return df
 
