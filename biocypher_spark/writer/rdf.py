@@ -61,17 +61,20 @@ def _xml_name(col):
 
 TURTLE_FORMATS = ("turtle", "ttl")
 XML_FORMATS = ("xml", "rdf/xml", "pretty-xml")
-SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS + XML_FORMATS
+JSONLD_FORMATS = ("json-ld", "jsonld")
+SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS + XML_FORMATS + JSONLD_FORMATS
 
 
 class RDFWriter:
     """``rdf_format``: ``ntriples`` (default; line-oriented, the scale path),
-    ``turtle`` (same triples with @prefix header and prefixed names), or
-    ``xml`` (RDF/XML, one ``rdf:Description`` block per row, serialized from
-    string templates — the schema-regular subset the reference's rdflib
-    serializer emits for this data model; reference ``_RDFWriter`` formats
-    beyond these, e.g. json-ld, need rdflib vocabulary handling, which is
-    unavailable here; requesting one raises with that explanation)."""
+    ``turtle`` (same triples with @prefix header and prefixed names),
+    ``xml`` (RDF/XML, one ``rdf:Description`` block per row), or ``json-ld``
+    (a ``@graph`` of per-row node objects, JSON-escaped JVM-side via
+    ``to_json``) — all serialized from string templates / built-in
+    expressions, the schema-regular subset the reference's rdflib serializer
+    emits for this data model (reference ``_RDFWriter`` formats beyond
+    these, e.g. trig/trix, would need rdflib, which is unavailable here;
+    requesting one raises with that explanation)."""
 
     def __init__(
         self,
@@ -85,7 +88,7 @@ class RDFWriter:
             raise ValueError(
                 f"rdf_format {rdf_format!r} not supported: only {SUPPORTED_FORMATS} can be "
                 "emitted without rdflib (absent in this environment); the reference's "
-                "json-ld serialization needs rdflib vocabulary handling"
+                "remaining serializations (trig/trix/n3/...) need rdflib vocabulary handling"
             )
         self.spark = spark
         self.translator = translator
@@ -93,13 +96,16 @@ class RDFWriter:
         self.ns = namespace
         self.turtle = rdf_format in TURTLE_FORMATS
         self.xml = rdf_format in XML_FORMATS
+        self.jsonld = rdf_format in JSONLD_FORMATS
         os.makedirs(self.outdir, exist_ok=True)
 
     @property
     def _ext(self) -> str:
         if self.turtle:
             return "ttl"
-        return "xml" if self.xml else "nt"
+        if self.xml:
+            return "xml"
+        return "jsonld" if self.jsonld else "nt"
 
     def _header(self) -> str:
         if self.xml:
@@ -109,6 +115,13 @@ class RDFWriter:
                 f'   xmlns:bc="{self.ns}"\n'
                 '   xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
                 ">\n"
+            )
+        if self.jsonld:
+            return (
+                "{\n"
+                f'  "@context": {{"bc": "{self.ns}", '
+                '"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"},\n'
+                '  "@graph": [\n'
             )
         return (
             f"@prefix bc: <{self.ns}> .\n"
@@ -120,7 +133,19 @@ class RDFWriter:
         lines.coalesce(1).write.mode("overwrite").text(tmp)
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         target = os.path.join(self.outdir, filename)
-        if self.turtle or self.xml:
+        if self.jsonld:
+            # valid JSON needs separators BETWEEN rows: stream the part file
+            # line by line, emitting the comma before every row but the
+            # first (driver-side byte copy, same as the header paths)
+            with open(target, "w") as out, open(part) as src:
+                out.write(self._header())
+                for i, line in enumerate(src):
+                    if i:
+                        out.write(",\n")
+                    out.write("    " + line.rstrip("\n"))
+                out.write("\n  ]\n}\n")
+            os.remove(part)
+        elif self.turtle or self.xml:
             with open(target, "w") as out, open(part) as src:
                 out.write(self._header())
                 shutil.copyfileobj(src, out)
@@ -159,6 +184,25 @@ class RDFWriter:
         for label in labels:
             sub = nodes.filter(F.col("node_label") == label)
             pascal = sentence_to_pascal(label)
+            if self.jsonld:
+                # one JSON object per node row; all string values, escaped
+                # JVM-side by to_json (props merged as a dynamic-key map)
+                obj = F.to_json(
+                    F.map_concat(
+                        F.create_map(
+                            F.lit("@id"),
+                            F.concat(F.lit("bc:"), _safe_id(F.col("node_id"))),
+                            F.lit("@type"),
+                            F.lit(f"bc:{pascal}"),
+                        ),
+                        F.transform_values("props", lambda _k, v: json_pystr(v)),
+                    )
+                )
+                lines = sub.select(obj.alias("value"))
+                written.append(
+                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
+                )
+                continue
             if self.xml:
                 prop_els = F.concat_ws(
                     "",
@@ -211,6 +255,31 @@ class RDFWriter:
         for label in labels:
             sub = edges.filter(F.col("relationship_label") == label)
             pascal = sentence_to_pascal(label)
+            if self.jsonld:
+                ref = lambda col: F.struct(F.concat(F.lit("bc:"), _safe_id(col)).alias("@id"))  # noqa: E731
+                direct = F.to_json(
+                    F.struct(
+                        F.concat(F.lit("bc:"), _safe_id(F.col("source_id"))).alias("@id"),
+                        ref(F.col("target_id")).alias(f"bc:{pascal}"),
+                    )
+                )
+                reified = F.to_json(
+                    F.struct(
+                        F.concat(F.lit("bc:"), _safe_id(F.col("relationship_id"))).alias("@id"),
+                        F.lit(f"bc:{pascal}").alias("@type"),
+                        ref(F.col("source_id")).alias("rdf:subject"),
+                        ref(F.col("target_id")).alias("rdf:object"),
+                    )
+                )
+                lines = sub.select(
+                    F.when(F.col("relationship_id").isNotNull(), reified)
+                    .otherwise(direct)
+                    .alias("value")
+                )
+                written.append(
+                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
+                )
+                continue
             if self.xml:
                 res = lambda col: F.concat(F.lit(f'rdf:resource="{self.ns}'), _safe_id(col), F.lit('"'))  # noqa: E731
                 direct = F.concat(

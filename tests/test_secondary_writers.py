@@ -122,7 +122,32 @@ def test_rdf_writer_unsupported_format(spark, translator, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="rdflib"):
-        RDFWriter(spark, translator, str(tmp_path), rdf_format="json-ld")
+        RDFWriter(spark, translator, str(tmp_path), rdf_format="trig")
+
+
+def test_rdf_writer_jsonld(spark, translator, tmp_path):
+    """JSON-LD serialization: @context + @graph of per-row objects, string
+    escaping via to_json, valid JSON per the stdlib parser."""
+    import json
+
+    out = tmp_path / "jsonld"
+    w = RDFWriter(spark, translator, str(out), rdf_format="json-ld")
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    doc = json.loads(read(out / "Protein.jsonld"))
+    assert doc["@context"]["bc"] == "https://biocypher.org/biocypher#"
+    graph = doc["@graph"]
+    assert len(graph) == 2
+    byid = {g["@id"]: g for g in graph}
+    assert byid["bc:p1"]["@type"] == "bc:Protein"
+    assert "name" in byid["bc:p1"]
+    ent = json.loads(read(out / "PERTURBED_IN_DISEASE.jsonld"))
+    for g in ent["@graph"]:
+        assert g["@type"] == "bc:PERTURBED_IN_DISEASE"
+        assert g["rdf:subject"]["@id"].startswith("bc:")
+        assert g["rdf:object"]["@id"].startswith("bc:")
 
 
 def test_rdf_writer_xml(spark, translator, tmp_path):
