@@ -595,7 +595,7 @@ def _band_cte(
         est_where = f"AND ({agree}) >= {est_min}"
     return f"""
     hashed AS (SELECT doc_id,
-      list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      list_distinct(list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
       FROM {source} WHERE len({elem_sql}) > 0),
     sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
     bands AS ({band_rows}),
@@ -619,17 +619,29 @@ _NGRAM_ROWS = 6
 _NGRAM_SLACK = 0.1
 
 
+def _hashed_jac_sql(elem_sql: str) -> tuple[str, str]:
+    """('t' CTE body, jac expression) for the exact Jaccard over the
+    distinct 32-bit-hashed element sets — mirrors
+    textops.hashed_element_set + _verify_hashed_jaccard (union-free
+    |A|+|B|-|A∩B| identity; both engines hash identically)."""
+    t_cte = (
+        "t AS (SELECT doc_id, "
+        f"list_distinct(list_transform({elem_sql}, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs "
+        f"FROM documents WHERE len({elem_sql}) > 0)"
+    )
+    inter = "len(list_intersect(a.hs, b.hs))"
+    jac = f"round({inter}::DOUBLE / (len(a.hs) + len(b.hs) - {inter}), 6)"
+    return t_cte, jac
+
+
 def _ngram_jaccard_oracle() -> str:
     import math
 
     est_min = math.ceil((_NGRAM_T - _NGRAM_SLACK) * _NGRAM_BANDS * _NGRAM_ROWS)
-    jac = (
-        "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
-        " / len(list_distinct(list_concat(a.sh, b.sh))), 6)"
-    )
+    t_cte, jac = _hashed_jac_sql(_SHINGLE_SQL)
     return f"""
     WITH {_band_cte(_SHINGLE_SQL, _NGRAM_BANDS, _NGRAM_ROWS, est_min)},
-    t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents WHERE len({_SHINGLE_SQL}) > 0)
+    {t_cte}
     SELECT doc_a, doc_b, {jac} AS jac
     FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
     WHERE {jac} >= {_NGRAM_T}
@@ -648,16 +660,13 @@ def doc_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_banded_oracle() -> str:
-    jac = (
-        "round(len(list_intersect(a.toks, b.toks))::DOUBLE"
-        " / len(list_distinct(list_concat(a.toks, b.toks))), 6)"
-    )
+    t_cte, jac = _hashed_jac_sql("string_split(text, ' ')")
     # deterministic top-1000 slice: the raw pair set is output-bound (this
     # synthetic corpus holds millions of true >=0.5 pairs at sf0.1), so the
     # query bounds its result with a total order instead of collecting them all
     return f"""
     WITH {_band_cte("string_split(text, ' ')")},
-    t AS (SELECT doc_id, list_distinct(list_sort(string_split(text, ' '))) AS toks FROM documents)
+    {t_cte}
     SELECT doc_a, doc_b, {jac} AS jac
     FROM cand JOIN t a ON a.doc_id = cand.doc_a JOIN t b ON b.doc_id = cand.doc_b
     WHERE {jac} >= 0.5
@@ -1280,17 +1289,16 @@ _CLUSTER_T = 0.8
 
 
 def _neardup_cluster_oracle() -> str:
-    jac = (
-        "round(len(list_intersect(a.toks, b.toks))::DOUBLE"
-        " / len(list_distinct(list_concat(a.toks, b.toks))), 6)"
-    )
+    inter = "len(list_intersect(a.hs, b.hs))"
+    jac = f"round({inter}::DOUBLE / (len(a.hs) + len(b.hs) - {inter}), 6)"
     return f"""
     WITH RECURSIVE {_band_cte(
         "string_split(text, ' ')",
         source=f"(SELECT * FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0)",
     )},
     sub AS (SELECT doc_id FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0),
-    t AS (SELECT doc_id, list_distinct(list_sort(string_split(text, ' '))) AS toks
+    t AS (SELECT doc_id,
+          list_distinct(list_transform(string_split(text, ' '), x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
           FROM documents WHERE doc_id % {_CLUSTER_MOD} = 0),
     pairs AS (
       SELECT doc_a, doc_b

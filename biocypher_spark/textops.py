@@ -115,6 +115,24 @@ def element_hash32(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
 
 
+def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column | None = None) -> DataFrame:
+    """(doc_id, _hs): the DISTINCT 32-bit-hashed element set of each doc
+    (tokens by default, or the given element array), empty sets excluded.
+
+    This is the shared domain of the banded-minhash family: signatures,
+    size-ratio cardinalities, AND the exact Jaccard verification all
+    operate on the hashed set. Verifying on 4-byte ints instead of element
+    strings cuts the per-pair join row width ~5x (the dominant verify
+    cost); both engines hash identically (md5 prefix), so the measure is
+    deterministic and oracle-replicable — the standard minhash-verify
+    practice, exact up to 2^-32 within-doc collisions.
+    """
+    elem_col = elements if elements is not None else tokens(F.col(text_col))
+    return df.select(
+        "doc_id", F.array_distinct(F.transform(elem_col, element_hash32)).alias("_hs")
+    ).filter(F.size("_hs") > 0)
+
+
 def minhash_band_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -143,50 +161,53 @@ def minhash_band_candidates(
     dropped BEFORE the dedup+verify join — the two-tier verify that keeps
     the expensive element arrays off the candidate shuffle.
 
-    With ``size_ratio_min`` set, each band row also carries the element-set
+    With ``size_ratio_min`` set, each band row also carries the hashed-set
     cardinality and pairs with ``min(n_a,n_b)/max(n_a,n_b) < size_ratio_min``
     are pruned: for sets, Jaccard <= min/max cardinality ratio, so passing
     the verification threshold here is LOSSLESS for a downstream
-    ``jac >= threshold`` filter — one int per row buys skipping the exact
-    array join for every size-incompatible candidate.
+    ``jac >= threshold`` filter over the hashed sets — one int per row buys
+    skipping the exact array join for every size-incompatible candidate.
+
+    Join-shape notes (measured ~1.4x on the whole query at sf0.1):
+    - The band self-join carries ONLY (doc_id, _n): every extra column is
+      copied into each of the ~100x-more-numerous pre-filter collision
+      pairs. Signatures are attached AFTER the distinct, by joining the
+      tiny per-doc signature table twice (AQE broadcasts it).
+    - Signatures are INDIVIDUAL int columns, so the agreement estimate
+      compiles to a whole-stage-codegen sum of equality flags; an array +
+      zip_with formulation runs interpreted HOF lambdas per pair.
     """
     seeds = bands * rows_per_band
-    # materialize the element array, then the per-element 32-bit hashes, as
-    # SEPARATE projections: embedding either expression into each of the
-    # b*r signature expressions would recompute it per seed (CollapseProject
-    # keeps multi-consumer non-cheap producer projections apart)
-    elem_col = elements if elements is not None else tokens(F.col(text_col))
-    # empty element arrays would all share the degenerate all-NULL signature
+    # materialize the element array, then the distinct per-element 32-bit
+    # hash set, as SEPARATE projections: embedding either expression into
+    # each of the b*r signature expressions would recompute it per seed
+    # (CollapseProject keeps multi-consumer non-cheap producer projections
+    # apart). Minhash signatures over the distinct hash set are identical
+    # to signatures over the raw multiset (min ignores duplicates).
+    #
+    # Empty element arrays would all share the degenerate all-NULL signature
     # (band key "") and self-join quadratically — 1M sub-n-char docs must not
     # form one 10^12-row bucket. An empty set has no meaningful Jaccard
     # similarity anyway, so such docs are excluded from candidacy (the
     # oracle applies the same predicate).
-    hash_cols = ["doc_id", F.transform(elem_col, element_hash32).alias("_h")]
-    if size_ratio_min is not None:
-        # DISTINCT element cardinality, from the raw elements (not the 32-bit
-        # hashes, whose collisions could undercount and break losslessness):
-        # downstream Jaccard verifiers compare distinct sets, so the
-        # min/max bound must use set cardinalities — a doc of one token
-        # repeated 10x has multiset size 10 but set size 1
-        hash_cols.append(F.size(F.array_distinct(elem_col)).alias("_n"))
-    hashed = df.select(*hash_cols).filter(F.size("_h") > 0)
+    hashed = hashed_element_set(df, text_col=text_col, elements=elements)
 
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
 
-    size_carry = ["_n"] if size_ratio_min is not None else []
+    size_carry = [F.size("_hs").alias("_n")] if size_ratio_min is not None else []
     sigs = hashed.select(
         "doc_id",
         *size_carry,
         *[
-            F.array_min(F.transform("_h", affine(a, b))).alias(f"sig{i}")
+            F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
             for i, (a, b) in enumerate(minhash_affine_params(seeds))
         ],
-    )
-    # band assignment as ONE explode (single scan / single sig computation),
-    # not a union of per-band selects that would each recompute the sigs; the
-    # tiny (doc_id, band, bkey) table is then materialized so the candidate
-    # self-join's two sides don't recompute the signatures either
+    ).localCheckpoint()
+    # band assignment as ONE explode per side over the materialized sig
+    # table (the signatures are computed exactly once), NARROW: the join
+    # output is the 100x-larger pre-filter pair set, so each carried byte
+    # multiplies
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -200,35 +221,29 @@ def minhash_band_candidates(
         )
         for b in range(bands)
     ]
-    # carry the signatures as INDIVIDUAL int columns (not an array): the
-    # agreement estimate below then compiles to a whole-stage-codegen sum of
-    # int equality flags evaluated per candidate pair — an array + zip_with
-    # formulation runs interpreted HOF lambdas over EVERY band-collision
-    # pair (the 100x-larger pre-filter set), which measured ~2x slower on
-    # the whole query
-    sig_names = [f"sig{i}" for i in range(seeds)] if est_min_matches > 0 else []
-    carry_names = sig_names + (["_n"] if size_carry else [])
-    assigned = (
-        sigs.select("doc_id", *carry_names, F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", *carry_names, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-        .localCheckpoint()
-    )
-    a_cols = ["band", "bkey", F.col("doc_id").alias("doc_a")] + [F.col(s).alias(f"_a{s}") for s in sig_names] + ([F.col("_n").alias("_na")] if size_carry else [])
-    c_cols = ["band", "bkey", F.col("doc_id").alias("doc_b")] + [F.col(s).alias(f"_b{s}") for s in sig_names] + ([F.col("_n").alias("_nb")] if size_carry else [])
-    a = assigned.select(*a_cols)
-    c = assigned.select(*c_cols)
+    carry = ["_n"] if size_ratio_min is not None else []
+    assigned = sigs.select(
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"), *[F.col("_n").alias("_na") for _ in carry])
+    c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"), *[F.col("_n").alias("_nb") for _ in carry])
     pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
     if size_ratio_min is not None:
-        # cheapest filter first: two int comparisons per pair
+        # cheapest filter first: two int comparisons per collision pair
         ratio = F.least("_na", "_nb") / F.greatest("_na", "_nb")
         pairs = pairs.filter(ratio >= size_ratio_min)
+    pairs = pairs.select("doc_a", "doc_b").distinct()
     if est_min_matches > 0:
+        sal = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig{i}").alias(f"_a{i}") for i in range(seeds)])
+        sbl = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig{i}").alias(f"_b{i}") for i in range(seeds)])
         agree = sum(
-            (F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0) for s in sig_names),
+            (F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(seeds)),
             start=F.lit(0),
         )
-        pairs = pairs.filter(agree >= est_min_matches)
-    return pairs.select("doc_a", "doc_b").distinct()
+        pairs = (
+            pairs.join(sal, "doc_a").join(sbl, "doc_b").filter(agree >= est_min_matches).select("doc_a", "doc_b")
+        )
+    return pairs
 
 
 def _est_min_matches(threshold: float, est_slack: float, seeds: int) -> int:
@@ -252,26 +267,38 @@ def minhash_banded_pairs(
 
     The size-ratio prefilter (Jaccard >= t implies min/max cardinality
     ratio >= t) additionally drops size-incompatible candidates before the
-    exact join — lossless for the final ``jac >= threshold`` filter."""
+    exact join — lossless for the final ``jac >= threshold`` filter.
+    ``jac`` is the exact Jaccard of the 32-bit-hashed token sets (see
+    :func:`hashed_element_set` for why)."""
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
     cand = minhash_band_candidates(
         df, text_col, bands, rows_per_band, est_min_matches=emm, size_ratio_min=threshold
     )
-    toks = F.array_distinct(F.array_sort(tokens(F.col(text_col))))
-    base = df.select("doc_id", toks.alias("toks"))
-    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one hash-set build
-    # per pair instead of two (array_union was half the verify cost)
+    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col)
+
+
+def _verify_hashed_jaccard(
+    cand: DataFrame,
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    elements: Column | None = None,
+) -> DataFrame:
+    """Exact Jaccard re-score of candidate pairs over the hashed element
+    sets; |A ∪ B| = |A| + |B| - |A ∩ B| for sets, so one hash-set build per
+    pair instead of two (array_union was half the verify cost)."""
+    base = hashed_element_set(df, text_col=text_col, elements=elements)
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_sa"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_sb"))
     inner = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("ta", "tb")).alias("_i"),
-            F.size("ta").alias("_x"),
-            F.size("tb").alias("_y"),
+            F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+            F.size("_sa").alias("_x"),
+            F.size("_sb").alias("_y"),
         )
     )
     jac = F.round(F.col("_i") / (F.col("_x") + F.col("_y") - F.col("_i")), 6)
@@ -328,7 +355,8 @@ def ngram_jaccard_pairs(
     With ``est_slack`` set, the signature-agreement estimate prunes
     candidates below threshold - est_slack before the exact join, keeping
     the (large) shingle arrays off the candidate shuffle. Survivors are
-    exactly re-scored on the full shingle sets.
+    exactly re-scored on the full hashed shingle sets (see
+    :func:`hashed_element_set`).
     """
     sh = shingles(F.col(text_col), n)
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
@@ -336,23 +364,7 @@ def ngram_jaccard_pairs(
         df, text_col, bands, rows_per_band, elements=sh, est_min_matches=emm,
         size_ratio_min=threshold,
     )
-    base = df.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
-    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    # union-free Jaccard (|A|+|B|-|A∩B|): one hash-set build per pair
-    inner = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sa", "sb")).alias("_i"),
-            F.size("sa").alias("_x"),
-            F.size("sb").alias("_y"),
-        )
-    )
-    jac = F.round(F.col("_i") / (F.col("_x") + F.col("_y") - F.col("_i")), 6)
-    return inner.select("doc_a", "doc_b", jac.alias("jac")).filter(F.col("jac") >= threshold)
+    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col, elements=sh)
 
 
 _HEX = "0123456789abcdef"
