@@ -25,6 +25,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE (round 3): an unrolled element_at dot product (64 explicit terms in
+# a plain Project) was prototyped as a codegen replacement for the _dot
+# fold and A/B-measured SLOWER-or-equal in embedding_near_dup's verify —
+# per-element bounds checks and generated-method size eat the
+# interpreted-lambda saving. The folds stay (they are also the only shape
+# that survives inside Generate; see _bucket_expr).
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
@@ -316,7 +324,10 @@ def embedding_near_dup(
     # per candidate pair (2 per pair, and pairs >> N): the per-pair work
     # drops to the dot product alone. cosine = dot/(na*nb) uses the exact
     # same subexpressions as the inline formulation, so results (and the
-    # oracle hash) are bit-identical.
+    # oracle hash) are bit-identical. An unrolled 64-term element_at dot
+    # was A/B-measured here and did NOT beat the fold (round 3) — per-call
+    # bounds checks and codegen size eat the interpreted-lambda saving;
+    # keep the fold (see also the Janino note on _bucket_expr).
     with_norm = embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_n"))
     ea = with_norm.select(
         F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"), F.col("_n").alias("_na")
