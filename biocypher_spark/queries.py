@@ -35,7 +35,15 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, materialize: bool = False) -> DataFrame:
+    """Read a testdata table; small single-split inputs are rebalanced to
+    the cluster width (see below). ``materialize=True`` additionally
+    localCheckpoints the rebalanced SMALL input — for queries that consume
+    the source in several plan branches (candidate generation + both
+    verify sides), where the lazy rebalance would otherwise re-execute per
+    branch (measured 2.4x on doc_ngram_jaccard at sf0.1). At scale the
+    rebalance path never triggers, so nothing is ever materialized there —
+    multi-branch scans of a large parquet table are the normal plan."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # a small single-split file would run CPU-heavy per-row work (shingle
     # minhash, simhash votes, embedding math) on ONE core; rebalance rows to
@@ -57,7 +65,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         return df
     if -(-total // max_bytes) < target:
-        return df.repartition(target)
+        out = df.repartition(target)
+        return out.localCheckpoint() if materialize else out
     return df
 
 
@@ -651,7 +660,7 @@ def _ngram_jaccard_oracle() -> str:
 @register("doc_ngram_jaccard", _ngram_jaccard_oracle())
 def doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents", materialize=True),
         threshold=_NGRAM_T,
         bands=_NGRAM_BANDS,
         rows_per_band=_NGRAM_ROWS,
@@ -677,7 +686,7 @@ def _minhash_banded_oracle() -> str:
 
 @register("doc_minhash_banded", _minhash_banded_oracle())
 def doc_minhash_banded(spark, sf_dir):
-    pairs = minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = minhash_banded_pairs(_t(spark, sf_dir, "documents", materialize=True), threshold=0.5)
     return pairs.orderBy(F.desc("jac"), F.asc("doc_a"), F.asc("doc_b")).limit(1000)
 
 
@@ -944,7 +953,7 @@ def _near_dup_oracle() -> str:
 @register("emb_near_dup", _near_dup_oracle())
 def emb_near_dup(spark, sf_dir):
     return embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "embeddings", materialize=True),
         threshold=_ND_THRESHOLD,
         num_tables=_ND_TABLES,
         planes_per_table=_ND_PLANES,
@@ -1326,7 +1335,7 @@ def doc_neardup_clusters(spark, sf_dir):
     from .operators.components import connected_components
     from .textops import minhash_banded_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % _CLUSTER_MOD == 0)
+    docs = _t(spark, sf_dir, "documents", materialize=True).filter(F.col("doc_id") % _CLUSTER_MOD == 0)
     pairs = minhash_banded_pairs(docs, threshold=_CLUSTER_T)
     comp = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
     return (
@@ -1406,7 +1415,7 @@ def doc_contamination_join(spark, sf_dir):
     bodies never shuffle)."""
     from .textops import contamination_join
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", materialize=True)
     probes = (
         docs.filter(F.col("doc_id") % 23 == 0)
         .select(F.substring("text", 5, _CJ_LEN).alias("probe"))

@@ -123,6 +123,29 @@ def test_banded_candidates_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_banded_candidates_est_filter_codegen_and_narrow_join(spark):
+    """Round-3 invariants of the banded-candidate shape: (a) the
+    signature-agreement prefilter is a codegen sum over individual int
+    columns — no interpreted zip_with on the collision pair stream; (b)
+    the band self-join output is NARROW (signatures are attached after
+    the distinct, so no sig column rides through the band join)."""
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.textops import minhash_band_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common tail") for i in range(8)], "doc_id long, text string"
+    )
+    plan = formatted_plan(
+        minhash_band_candidates(docs, bands=2, rows_per_band=2, est_min_matches=3, size_ratio_min=0.5)
+    )
+    assert "zip_with" not in plan
+    # the band self-join keys on (band, bkey) and outputs only ids + the
+    # one size int; sig columns appear only in the post-distinct attach
+    for line in plan.splitlines():
+        if "Join" in line and "bkey" in line:
+            assert "sig" not in line
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Pre-bucketed tables on the join key -> SortMergeJoin with ZERO
     Exchange: the write-time shuffle is amortized across every later join
