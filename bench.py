@@ -158,7 +158,15 @@ def scaling_worker(cores: int, n_turns: int) -> None:
     # otherwise pays the only cold read of the round set, which deflates
     # its baseline and manufactures fake super-linear efficiency
     spark.read.parquet(path).write.mode("overwrite").format("noop").save()
-    stats = run_pipeline_job(spark, n_turns, input_path=path)
+    # best-of-N within the worker (warm JVM): ambient contention is
+    # additive and hits the 4N level ~4x harder (it needs 4x more free
+    # cores), so each level needs at least one clean sample per round for
+    # the per-level-minimum selection to see the uncontended cost
+    runs = int(os.environ.get("SPARK_GRAFT_WORKER_RUNS", "2"))
+    stats = min(
+        (run_pipeline_job(spark, n_turns, input_path=path) for _ in range(max(runs, 1))),
+        key=lambda s: s["sec"],
+    )
     print("SCALING_RESULT " + json.dumps(stats))
     spark.stop()
 
