@@ -1,11 +1,13 @@
-"""RDF sink (S8): N-Triples, one file per label.
+"""RDF sink (S8): one file per label; ntriples / turtle / xml / json-ld.
 
 Reference: ``_RDFWriter`` (/root/reference/biocypher/output/write/graph/
-_rdf.py:30-687) supports many rdflib serializations; rdflib is not available
-in this sandbox, so this writer emits the line-oriented N-Triples format
-directly from column expressions (`concat` of escaped terms), which is also
-the only format that can be produced scalably without collecting the graph.
-Nodes become ``<id> rdf:type <Class>`` plus one triple per property
+_rdf.py:30-687) serializes via rdflib; rdflib is not available in this
+sandbox, so every format here is emitted directly from column expressions
+(`concat` / `to_json` of escaped terms) — which is also the scalable path:
+the serialization work distributes with the data instead of collecting the
+graph into an rdflib store. N-Triples is fully line-oriented; turtle / xml
+/ json-ld add a constant header/footer spliced in during the single-file
+copy. Nodes become ``<id> rdf:type <Class>`` plus one triple per property
 (reference node triples :347-417); edges with an id are reified through
 rdf:subject/rdf:predicate/rdf:object (reference edge reification :183-266),
 id-less edges become direct triples."""
@@ -55,8 +57,12 @@ def _escape_xml(col):
 
 
 def _xml_name(col):
-    """XML element-name-safe property key."""
-    return F.regexp_replace(col, "[^a-zA-Z0-9_-]", "_")
+    """XML element-name-safe property key (names must not start with a
+    digit or '-'; a leading underscore is prefixed if needed)."""
+    safe = F.regexp_replace(col, "[^a-zA-Z0-9_-]", "_")
+    return F.when(F.substring(safe, 1, 1).rlike("[A-Za-z_]"), safe).otherwise(
+        F.concat(F.lit("_"), safe)
+    )
 
 
 TURTLE_FORMATS = ("turtle", "ttl")
