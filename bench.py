@@ -183,7 +183,10 @@ def run_scaling(n_turns: int) -> dict:
     distorted in the direction that would overstate scaling.
     """
     lo, hi = SCALING_CORES
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    # 2 paired rounds x best-of-2 inside each worker = 4 samples per level:
+    # as robust as 3x1 was, ~5 min less wall time (the whole bench must
+    # stay well inside the driver's patience)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     out: dict = {"cores": [lo, hi], "turns": n_turns, "repeats": repeats, "interleaved": True}
     import shutil as _shutil
 
