@@ -1369,6 +1369,45 @@ def doc_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang")
 
 
+@register(
+    "doc_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM tok WHERE token != ''
+    GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def doc_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary by document frequency (textops.vocab_topk)."""
+    from .textops import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "doc_length_stats",
+    """
+    SELECT lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      min(len(string_split(text, ' '))) AS min_tokens,
+      max(len(string_split(text, ' '))) AS max_tokens,
+      round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+      round(avg(length(text)), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_stats(spark, sf_dir):
+    """Per-language corpus length audit (textops.length_stats)."""
+    from .textops import length_stats
+
+    return length_stats(_t(spark, sf_dir, "documents"))
+
+
 _CONTAMINATION_PROBES = ["table window table", "batch window spark", "quantum zebra probe"]
 
 

@@ -683,6 +683,45 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     )
 
 
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary by document frequency: the ``k`` most widespread
+    tokens with document counts — the vocabulary-building / stop-word-audit
+    step of a training pipeline.
+
+    Shape: distinct tokens per doc (array_distinct, no shuffle) -> explode
+    -> ONE hash aggregate on the token (partial map-side combine makes the
+    shuffle carry one row per distinct token per partition, not per
+    occurrence) -> global top-k with a deterministic (count desc, token
+    asc) total order. Classic word-count: scales to any corpus.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def length_stats(df: DataFrame, strata_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Per-stratum corpus length audit: document count, token-count
+    min/max/avg, char-count avg — the sanity dashboard run before and
+    after every filtering stage. One scan, one k-row aggregate."""
+    n_toks = F.size(tokens(F.col(text_col)))
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(n_toks).alias("min_tokens"),
+            F.max(n_toks).alias("max_tokens"),
+            F.round(F.avg(n_toks), 6).alias("avg_tokens"),
+            F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict,

@@ -419,3 +419,21 @@ def test_repetition_zero_bigram_docs_score_zero(spark):
     docs = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
     out = {r["doc_id"]: r["dup_word_2gram_frac"] for r in repetition_signals(docs).collect()}
     assert out == {1: 0.0, 2: 0.0}
+
+
+def test_vocab_and_length_stats(spark):
+    from biocypher_spark.textops import length_stats, vocab_topk
+
+    rows = [
+        (1, "en", "a b b c"),
+        (2, "en", "a c  d"),  # double space -> empty token, must be dropped
+        (3, "de", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    vocab = [(r["token"], r["doc_freq"]) for r in vocab_topk(docs, k=10).collect()]
+    # document frequency (not term frequency: doc 1's double 'b' counts once);
+    # ties break alphabetically
+    assert vocab == [("a", 3), ("c", 2), ("b", 1), ("d", 1)]
+    stats = {r["lang"]: r for r in length_stats(docs).collect()}
+    assert stats["de"]["n_docs"] == 1 and stats["de"]["avg_tokens"] == 1.0
+    assert stats["en"]["min_tokens"] == 4 and stats["en"]["max_tokens"] == 4
