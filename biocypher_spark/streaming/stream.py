@@ -78,6 +78,30 @@ def stream_exact_dedup(transcripts: DataFrame, watermark: str = "1 hour") -> Dat
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
 
 
+def stream_minhash_dedup(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+    seeds: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: emit only the first row of each full
+    minhash-signature group seen within the watermark horizon (the
+    streaming analogue of the batch :func:`...textops.minhash_dedup`
+    AND-only grouping — near-identical rewrites share the signature and are
+    dropped).
+
+    State is keyed on ``seeds`` 16-byte signature values (not the text),
+    watermark-bounded exactly like :func:`stream_exact_dedup`; the
+    signature expressions are the same md5-min folds as the batch
+    operator, so batch and streaming agree on what counts as a near-dup."""
+    from ..textops import minhash_signature
+
+    sigs = transcripts.select(
+        "*", *minhash_signature(F.col(text_col), seeds=seeds)
+    ).withWatermark("ts", watermark)
+    return sigs.dropDuplicatesWithinWatermark([f"sig{b}" for b in range(seeds)])
+
+
 def windowed_mention_counts(
     mentions: DataFrame,
     window: str = "10 minutes",

@@ -158,6 +158,36 @@ def test_stream_exact_dedup(spark, stream_dir):
         q.stop()
 
 
+def test_stream_minhash_dedup(spark, stream_dir):
+    """Streaming near-dup suppression: one emitted row per distinct full
+    minhash signature, agreeing with the batch minhash_dedup grouping."""
+    from biocypher_spark.streaming.stream import stream_minhash_dedup
+    from biocypher_spark.textops import minhash_signature
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=2)
+    deduped = stream_minhash_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("mh_dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _run_to_completion(q)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT sig0 || sig1 || sig2 || sig3) AS d FROM mh_dedup_sink"
+        ).head()
+        expected = (
+            spark.read.parquet(stream_dir)
+            .select(*minhash_signature(F.col("text"), seeds=4))
+            .distinct()
+            .count()
+        )
+        assert got["n"] == got["d"] == expected
+    finally:
+        q.stop()
+
+
 def test_stream_kg_crash_replay_idempotent(spark, tmp_path):
     """At-least-once hardening: part files left by a crashed (uncommitted)
     attempt are wiped before the next batch emits, committed batches are
