@@ -191,6 +191,49 @@ def pascal_file_label(label: str) -> str:
     return sentence_to_pascal(parse_label(label))
 
 
+def ordered_file_assignment(lines_df: DataFrame, batch_size: int) -> DataFrame:
+    """Exact reference batching, DISTRIBUTED: per-label arrival-order rank
+    -> file index every ``batch_size`` rows, via the classic two-pass
+    scheme (parallel range-sort -> per-chunk counts -> driver prefix-sum
+    of chunk offsets -> per-chunk local ranks). A plain per-label
+    row_number window funnels each label through ONE reducer task
+    (measured 46.8s vs 6.1s unordered at 2M single-label rows locally; a
+    hard wall at 10^9-row labels). The driver only ever sees the
+    (chunk, label) count table — n_partitions x n_labels rows.
+    """
+    spark = lines_df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    # localCheckpoint pins BOTH the (sampled, hence nondeterministic)
+    # range partitioning and the frozen _pid values across the two
+    # passes; range partitioning on the unique (_plabel, SEQ) key
+    # guarantees every row of chunk p precedes every row of chunk p+1
+    # within a label, so chunk offsets are exact
+    ranged = (
+        lines_df.repartitionByRange(n, "_plabel", SEQ)
+        .sortWithinPartitions("_plabel", SEQ)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid", "_plabel").count().collect()
+    running: dict[str, int] = {}
+    offsets = []
+    for row in sorted(counts, key=lambda r: (r["_plabel"], r["_pid"])):
+        offsets.append((row["_pid"], row["_plabel"], running.get(row["_plabel"], 0)))
+        running[row["_plabel"]] = running.get(row["_plabel"], 0) + row["count"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _plabel string, _off long")
+    # the local-rank window shuffles by (chunk, label) — parallel
+    # across all chunks, never one task per label
+    w = Window.partitionBy("_pid", "_plabel").orderBy(SEQ)
+    df = ranged.join(F.broadcast(off_df), ["_pid", "_plabel"]).withColumn(
+        "_file",
+        F.floor((F.row_number().over(w) - 1 + F.col("_off")) / F.lit(int(batch_size))),
+    )
+    return df.repartitionByRange(F.col("_plabel"), F.col("_file")).sortWithinPartitions(
+        "_plabel", "_file", SEQ
+    )
+
+
+
 def write_part_files(
     lines_df: DataFrame,
     outdir: str,
@@ -209,48 +252,7 @@ def write_part_files(
     tmp = os.path.join(outdir, "_tmp_parts")
     shutil.rmtree(tmp, ignore_errors=True)
     if ordered:
-        # exact reference batching: per-label rank -> file index every
-        # batch_size rows. The rank is computed DISTRIBUTED with the
-        # classic two-pass scheme (parallel range-sort -> per-chunk counts
-        # -> driver prefix-sum of chunk offsets -> per-chunk local ranks):
-        # a plain per-label row_number window funnels each label through
-        # ONE reducer task (measured 46.8s vs 6.1s unordered at 2M
-        # single-label rows locally; a hard wall at 10^9-row labels). The
-        # driver only ever sees the (chunk, label) count table —
-        # n_partitions x n_labels rows.
-        spark = lines_df.sparkSession
-        n = max(spark.sparkContext.defaultParallelism, 1)
-        # localCheckpoint pins BOTH the (sampled, hence nondeterministic)
-        # range partitioning and the frozen _pid values across the two
-        # passes; range partitioning on the unique (_plabel, SEQ) key
-        # guarantees every row of chunk p precedes every row of chunk p+1
-        # within a label, so chunk offsets are exact
-        ranged = (
-            lines_df.repartitionByRange(n, "_plabel", SEQ)
-            .sortWithinPartitions("_plabel", SEQ)
-            .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint()
-        )
-        counts = ranged.groupBy("_pid", "_plabel").count().collect()
-        running: dict[str, int] = {}
-        offsets = []
-        for row in sorted(counts, key=lambda r: (r["_plabel"], r["_pid"])):
-            offsets.append((row["_pid"], row["_plabel"], running.get(row["_plabel"], 0)))
-            running[row["_plabel"]] = running.get(row["_plabel"], 0) + row["count"]
-        off_df = spark.createDataFrame(offsets, "_pid int, _plabel string, _off long")
-        # the local-rank window shuffles by (chunk, label) — parallel
-        # across all chunks, never one task per label
-        w = Window.partitionBy("_pid", "_plabel").orderBy(SEQ)
-        df = (
-            ranged.join(F.broadcast(off_df), ["_pid", "_plabel"])
-            .withColumn(
-                "_file",
-                F.floor((F.row_number().over(w) - 1 + F.col("_off")) / F.lit(int(batch_size))),
-            )
-        )
-        df = df.repartitionByRange(F.col("_plabel"), F.col("_file")).sortWithinPartitions(
-            "_plabel", "_file", SEQ
-        )
+        df = ordered_file_assignment(lines_df, batch_size)
     else:
         # scale path: no global per-label order (neo4j-admin import does not
         # require one); write from the existing partitioning — zero shuffle,

@@ -9,6 +9,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def _writer_rank_df(spark):
+    """The ordered part-file assignment on a synthetic lines frame — the
+    plan must show the per-(chunk,label) local-rank window over the
+    checkpointed range-sorted scan, never a per-label global window."""
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.writer.base import ordered_file_assignment
+
+    lines = spark.range(5000).select(
+        F.lit("Protein").alias("_plabel"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("line"),
+        F.col("id").alias("_seq"),
+    )
+    return ordered_file_assignment(lines, batch_size=1000)
+
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[4]")
@@ -53,6 +70,7 @@ def main() -> None:
         "SimHash64 (explode + single 64-sum codegen hash aggregate)": simhash64(
             spark.read.parquet(f"{sf}/documents.parquet")
         ),
+        "Golden-order part-file rank (two-pass distributed: range-sort -> chunk offsets -> local ranks)": _writer_rank_df(spark),
     }
     out = ["# PLANS — formatted physical plans of the hot-path stages\n"]
     out.append("Regenerate with `python tools/explain_plans.py`.\n")
