@@ -146,6 +146,30 @@ def test_banded_candidates_est_filter_codegen_and_narrow_join(spark):
             assert "sig" not in line
 
 
+def test_ordered_part_rank_is_distributed(spark):
+    """The golden-order part-file rank must stay the two-pass distributed
+    scheme: its row_number window partitions by (chunk, label) — a window
+    partitioned by label alone serializes each label through one reducer
+    task (round-3 find: 46.8s vs 6.1s at 2M single-label rows)."""
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.writer.base import ordered_file_assignment
+
+    lines = spark.range(500).select(
+        F.lit("Protein").alias("_plabel"),
+        F.col("id").cast("string").alias("line"),
+        F.col("id").alias("_seq"),
+    )
+    plan = formatted_plan(ordered_file_assignment(lines, batch_size=100))
+    window_lines = [ln for ln in plan.splitlines() if "row_number" in ln]
+    assert window_lines, "rank window missing from plan"
+    assert all("_pid" in ln for ln in window_lines), (
+        "rank window must partition by the range-sort chunk id (_pid), "
+        "not by label alone:\n" + "\n".join(window_lines)
+    )
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Pre-bucketed tables on the join key -> SortMergeJoin with ZERO
     Exchange: the write-time shuffle is amortized across every later join
