@@ -1369,6 +1369,93 @@ def doc_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, _MIX_RATES).select("doc_id", "lang")
 
 
+# cross-corpus dedup: "the new crawl" = doc_id % 7 != 0, "the existing
+# training set" = doc_id % 7 == 0 — both derived from the corpus so the
+# screen has true positives (the synthetic corpus is near-dup-dense)
+_XC_MOD = 7
+_XC_T = 0.8
+_XC_BANDS, _XC_ROWS = 4, 3
+
+
+@register(
+    "doc_dedup_against_exact",
+    f"""
+    WITH ref AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % {_XC_MOD} = 0),
+    c AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % {_XC_MOD} != 0)
+    SELECT c.doc_id, (ref.k IS NOT NULL) AS dup_of_ref
+    FROM c LEFT JOIN ref ON c.k = ref.k
+    """,
+)
+def doc_dedup_against_exact(spark, sf_dir):
+    """Cross-corpus exact dedup (textops.exact_dedup_against): flag new
+    docs whose text already exists in the reference corpus."""
+    from .textops import exact_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_against(
+        docs.filter(F.col("doc_id") % _XC_MOD != 0), docs.filter(F.col("doc_id") % _XC_MOD == 0)
+    )
+
+
+def _dedup_against_near_oracle() -> str:
+    from .textops import _MINHASH_PRIME, minhash_affine_params
+
+    seeds = _XC_BANDS * _XC_ROWS
+    hash_list = "list_distinct(list_transform(string_split(text, ' '), x -> ('0x' || substr(md5(x), 1, 8))::BIGINT))"
+    sig_cols = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_PRIME}), 'min') AS sig{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(seeds))
+    )
+
+    def bands_sql(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS bkey FROM {src}".format(
+                b=b,
+                key=" || '|' || ".join(f"sig{b * _XC_ROWS + r}::VARCHAR" for r in range(_XC_ROWS)),
+                src=src,
+            )
+            for b in range(_XC_BANDS)
+        )
+
+    inter = "len(list_intersect(a.hs, b.hs))"
+    jac = f"{inter}::DOUBLE / (len(a.hs) + len(b.hs) - {inter})"
+    return f"""
+    WITH hc AS (SELECT doc_id, {hash_list} AS hs FROM documents
+                WHERE doc_id % {_XC_MOD} != 0 AND len(string_split(text, ' ')) > 0),
+    sc AS (SELECT doc_id, {sig_cols} FROM hc),
+    bc AS ({bands_sql("sc")}),
+    hr AS (SELECT doc_id, {hash_list} AS hs FROM documents
+           WHERE doc_id % {_XC_MOD} = 0 AND len(string_split(text, ' ')) > 0),
+    sr AS (SELECT doc_id, {sig_cols} FROM hr),
+    br AS ({bands_sql("sr")}),
+    cand AS (SELECT DISTINCT c.doc_id AS da, r.doc_id AS dr
+             FROM bc c JOIN br r ON c.band = r.band AND c.bkey = r.bkey),
+    ver AS (SELECT DISTINCT cand.da AS doc_id
+            FROM cand JOIN hc a ON a.doc_id = cand.da JOIN hr b ON b.doc_id = cand.dr
+            WHERE {jac} >= {_XC_T})
+    SELECT c.doc_id, (ver.doc_id IS NOT NULL) AS dup_of_ref
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_XC_MOD} != 0) c
+    LEFT JOIN ver ON ver.doc_id = c.doc_id
+    """
+
+
+@register("doc_dedup_against_near", _dedup_against_near_oracle())
+def doc_dedup_against_near(spark, sf_dir):
+    """Cross-corpus near dedup (textops.near_dedup_against): banded-minhash
+    candidates between the new-crawl and training corpora, exact hashed-set
+    Jaccard verification."""
+    from .textops import near_dedup_against
+
+    docs = _t(spark, sf_dir, "documents", materialize=True)
+    return near_dedup_against(
+        docs.filter(F.col("doc_id") % _XC_MOD != 0),
+        docs.filter(F.col("doc_id") % _XC_MOD == 0),
+        threshold=_XC_T,
+        bands=_XC_BANDS,
+        rows_per_band=_XC_ROWS,
+    )
+
+
 @register(
     "doc_vocab_topk",
     """

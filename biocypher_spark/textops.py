@@ -683,6 +683,111 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     )
 
 
+def exact_dedup_against(df: DataFrame, reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-corpus exact dedup: flag documents of ``df`` whose text
+    already appears in ``reference`` — the 'dedup the new crawl against
+    the existing training set' step. Returns (doc_id, dup_of_ref).
+
+    The join key is ``md5(text)`` on both sides (32-byte keys, bodies
+    never shuffle); the reference side is reduced to its distinct key set
+    first, so re-running against an ever-growing training corpus stays a
+    key-only join."""
+    ref_keys = reference.select(F.md5(text_col).alias("_k")).distinct()
+    return (
+        df.select("doc_id", F.md5(text_col).alias("_k"))
+        .join(ref_keys.withColumn("_hit", F.lit(True)), "_k", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("dup_of_ref"))
+    )
+
+
+def _sig_band_table(
+    df: DataFrame, text_col: str, bands: int, rows_per_band: int, elements: Column | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(sigs, band_assignment) for one corpus: the per-doc signature table
+    (doc_id, _n, sig0..sigN-1; localCheckpointed — computed exactly once)
+    and its exploded (doc_id, _n, band, bkey) band table."""
+    seeds = bands * rows_per_band
+    hashed = hashed_element_set(df, text_col=text_col, elements=elements)
+
+    def affine(a: int, b: int):
+        return lambda h: (h * a + b) % _MINHASH_PRIME
+
+    sigs = hashed.select(
+        "doc_id",
+        F.size("_hs").alias("_n"),
+        *[
+            F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
+            for i, (a, b) in enumerate(minhash_affine_params(seeds))
+        ],
+    ).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    assigned = sigs.select("doc_id", "_n", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", "_n", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    return sigs, assigned
+
+
+def near_dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Cross-corpus NEAR dedup: flag documents of ``df`` whose hashed token
+    set has Jaccard >= ``threshold`` with ANY document of ``reference``
+    (banded-minhash candidates between the two corpora, lossless
+    size-ratio prefilter, exact hashed-set verification). Returns
+    (doc_id, dup_of_ref) for every ``df`` row.
+
+    Scale shape mirrors :func:`minhash_band_candidates`, asymmetric: both
+    corpora reduce to signature/band tables (bodies stay put), candidates
+    come from a hash join on short band keys, and only flagged doc ids
+    come back — re-screening a new crawl shard against a 100 TB training
+    set never rescans the training set's text."""
+    sa, ba = _sig_band_table(df, text_col, bands, rows_per_band)
+    _sr, br = _sig_band_table(reference, text_col, bands, rows_per_band)
+    a_side = ba.select("band", "bkey", F.col("doc_id").alias("_da"), F.col("_n").alias("_na"))
+    r_side = br.select("band", "bkey", F.col("doc_id").alias("_dr"), F.col("_n").alias("_nb"))
+    pairs = (
+        a_side.join(r_side, ["band", "bkey"])
+        # lossless: Jaccard >= t implies min/max cardinality ratio >= t
+        .filter(F.least("_na", "_nb") / F.greatest("_na", "_nb") >= threshold)
+        .select("_da", "_dr")
+        .distinct()
+    )
+    ha = hashed_element_set(df, text_col=text_col).select(
+        F.col("doc_id").alias("_da"), F.col("_hs").alias("_sa")
+    )
+    hr = hashed_element_set(reference, text_col=text_col).select(
+        F.col("doc_id").alias("_dr"), F.col("_hs").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    flagged = (
+        pairs.join(ha, "_da")
+        .join(hr, "_dr")
+        .filter(jac >= threshold)
+        .select(F.col("_da").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        df.select("doc_id")
+        .join(flagged.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("dup_of_ref"))
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary by document frequency: the ``k`` most widespread
     tokens with document counts — the vocabulary-building / stop-word-audit

@@ -437,3 +437,28 @@ def test_vocab_and_length_stats(spark):
     stats = {r["lang"]: r for r in length_stats(docs).collect()}
     assert stats["de"]["n_docs"] == 1 and stats["de"]["avg_tokens"] == 1.0
     assert stats["en"]["min_tokens"] == 4 and stats["en"]["max_tokens"] == 4
+
+
+def test_cross_corpus_dedup(spark):
+    """Exact and near cross-corpus screens: exact flags only identical
+    text; near also flags a one-token rewrite; unrelated docs stay clean."""
+    from biocypher_spark.textops import exact_dedup_against, near_dedup_against
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    reference = spark.createDataFrame(
+        [(100, base), (101, "reference only content here")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [(1, base),                                   # exact dup
+         (2, base.replace("tok7", "changed")),        # 1-token rewrite: J = 19/21
+         (3, "entirely new material about spark")],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r["dup_of_ref"] for r in exact_dedup_against(crawl, reference).collect()}
+    assert exact == {1: True, 2: False, 3: False}
+    near = {
+        r["doc_id"]: r["dup_of_ref"]
+        for r in near_dedup_against(crawl, reference, threshold=0.8).collect()
+    }
+    assert near == {1: True, 2: True, 3: False}
