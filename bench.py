@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_repetition",
     "doc_contamination",
     "doc_contamination_join",
+    "doc_dedup_against_near",
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_near_dup",
