@@ -146,7 +146,7 @@ def run_pipeline_job(spark, n_turns: int, input_path: str | None = None) -> dict
     }
 
 
-def scaling_worker(cores: int, n_turns: int) -> None:
+def scaling_worker(cores: int, n_turns: int, runs: int = 2) -> None:
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     path = materialize_input(spark, n_turns)
@@ -163,7 +163,6 @@ def scaling_worker(cores: int, n_turns: int) -> None:
     # additive and hits the 4N level ~4x harder (it needs 4x more free
     # cores), so each level needs at least one clean sample per round for
     # the per-level-minimum selection to see the uncontended cost
-    runs = int(os.environ.get("SPARK_GRAFT_WORKER_RUNS", "2"))
     stats = min(
         (run_pipeline_job(spark, n_turns, input_path=path) for _ in range(max(runs, 1))),
         key=lambda s: s["sec"],
@@ -197,9 +196,20 @@ def run_scaling(n_turns: int) -> dict:
         # threads), inflating low-N throughput and understating the
         # true N -> 4N ratio
         pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
+        # ASYMMETRIC sample counts: the low level is stable across every
+        # session (needs only N free cores; observed spread ~4%), the 4N
+        # level is the ambient-sensitive one — give it an extra warm-JVM
+        # sample per round instead of a whole extra round (a 4N run costs
+        # ~1/4 of a low run)
+        runs = int(
+            os.environ.get(
+                "SPARK_GRAFT_WORKER_RUNS_HI" if cores == hi else "SPARK_GRAFT_WORKER_RUNS",
+                "3" if cores == hi else "2",
+            )
+        )
         try:
             proc = subprocess.run(
-                pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns)],
+                pin + [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_turns), str(runs)],
                 capture_output=True,
                 text=True,
                 timeout=3600,
@@ -255,7 +265,11 @@ def run_scaling(n_turns: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
-        scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
+        scaling_worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            runs=int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
         return
 
     import __spark_entry__ as entry
