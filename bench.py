@@ -196,15 +196,16 @@ def run_scaling(n_turns: int) -> dict:
         # threads), inflating low-N throughput and understating the
         # true N -> 4N ratio
         pin = ["taskset", "-c", f"0-{cores - 1}"] if _shutil.which("taskset") else []
-        # ASYMMETRIC sample counts: the low level is stable across every
-        # session (needs only N free cores; observed spread ~4%), the 4N
-        # level is the ambient-sensitive one — give it an extra warm-JVM
-        # sample per round instead of a whole extra round (a 4N run costs
-        # ~1/4 of a low run)
+        # best-of-3 warm-JVM samples at BOTH levels: ambient contention can
+        # hit either side (a contended 4N understates the ratio, a
+        # contended N manufactures fake superlinearity — one session
+        # measured 1.04 when every low-level sample landed in a busy
+        # window), and the per-level minimum is only as good as its
+        # cleanest sample
         runs = int(
             os.environ.get(
                 "SPARK_GRAFT_WORKER_RUNS_HI" if cores == hi else "SPARK_GRAFT_WORKER_RUNS",
-                "3" if cores == hi else "2",
+                "3",
             )
         )
         try:
