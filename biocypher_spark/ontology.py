@@ -58,12 +58,24 @@ class Ontology:
         parent_map: Optional[dict] = None,
         hierarchy_file: Optional[str] = None,
         root: Optional[str] = None,
+        switch_label_and_id: bool = True,
+        file_format: Optional[str] = None,
+        remove_prefixes: bool = True,
     ):
         self.mapping = mapping or SchemaMapping()
         self._parents: dict[str, list[str]] = {}
+        self._labels: dict[str, str] = {}
+        file_root_applied = False
         if hierarchy_file:
-            if hierarchy_file.endswith((".ttl", ".owl")):
-                self._load_turtle(hierarchy_file)
+            fmt = (file_format or "").lower()
+            is_rdf = (
+                fmt in ("ttl", "turtle", "owl", "rdf", "xml", "rdfxml", "obo")
+                or (not fmt and hierarchy_file.lower().endswith((".ttl", ".owl", ".rdf", ".xml")))
+                or (not fmt and self._sniff_rdf(hierarchy_file))
+            )
+            if is_rdf:
+                self._load_rdf(hierarchy_file, root, switch_label_and_id, file_format, remove_prefixes)
+                file_root_applied = root is not None
             else:
                 with open(hierarchy_file) as fh:
                     parent_map = {**(yaml.safe_load(fh) or {}), **(parent_map or {})}
@@ -71,7 +83,7 @@ class Ontology:
             self._add_edges(child, to_list(parents))
         self._apply_synonyms()
         self._extend_with_schema()
-        if root is not None:
+        if root is not None and not file_root_applied:
             self._restrict_to_root(root)
 
     # -- construction ------------------------------------------------------
@@ -84,29 +96,59 @@ class Ontology:
             if p is not None:
                 self._parents.setdefault(p, [])
 
-    _TTL_LABEL = re.compile(r"^(\S+)\s+rdfs:label\s+\"([^\"]+)\"", re.M)
-    _TTL_SUBCLASS = re.compile(r"^(\S+)\s+rdfs:subClassOf\s+(\S+)", re.M)
+    @staticmethod
+    def _sniff_rdf(path: str) -> bool:
+        """True when an extensionless hierarchy file is RDF (XML or Turtle)."""
+        try:
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                head = fh.read(4000)
+        except OSError:
+            return False
+        stripped = head.lstrip()
+        return stripped.startswith(("<?xml", "<!DOCTYPE", "<rdf:RDF", "<RDF", "@prefix", "@base")) or "@prefix" in head
 
-    def _load_turtle(self, path: str) -> None:
-        """Minimal Turtle reader: rdfs:label + rdfs:subClassOf lines only.
+    def _load_rdf(
+        self,
+        path: str,
+        root: Optional[str],
+        switch_label_and_id: bool,
+        file_format: Optional[str],
+        remove_prefixes: bool,
+    ) -> None:
+        """Load an OWL/TTL hierarchy file via the stdlib RDF reader.
 
-        Node names become lower-sentence-case labels, mirroring the
-        reference's label normalization (_ontology.py:322-342). This is not
-        a general Turtle parser; it supports the line-oriented shape of the
-        bundled test ontologies.
+        Reproduces the reference's OntologyAdapter semantics
+        (/root/reference/biocypher/_ontology.py:92-360): subClassOf /
+        subPropertyOf / type-Class / type-ObjectProperty edges gated on
+        rdfs:label, owl:intersectionOf expansion, label normalisation with
+        id/label switching, and root-descendant filtering. Raises when the
+        file parses to zero hierarchy edges — a silently empty ontology
+        corrupts every downstream `:LABEL` closure.
         """
-        with open(path) as fh:
-            text = fh.read()
-        labels = {iri: lbl for iri, lbl in self._TTL_LABEL.findall(text)}
+        from .rdfio import ZeroHierarchyEdgesError, build_ontology_graph, parse_rdf_file
 
-        def name(iri: str) -> str:
-            raw = labels.get(iri, iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1].rstrip(">"))
-            return to_lower_sentence_case(raw.replace("_", " "))
+        triples = parse_rdf_file(path, file_format)
+        try:
+            parents, labels = build_ontology_graph(
+                triples,
+                root_label=root,
+                switch_label_and_id=switch_label_and_id,
+                remove_prefixes=remove_prefixes,
+            )
+        except ZeroHierarchyEdgesError as exc:
+            raise ValueError(
+                f"Ontology file {path!r} produced no hierarchy edges ({exc}). "
+                "Check the file format or pass file_format= explicitly."
+            ) from exc
+        self._labels.update(labels)
+        for child, ps in parents.items():
+            self._add_edges(child, ps)
 
-        for child, parent in self._TTL_SUBCLASS.findall(text):
-            if parent.startswith("_:") or child.startswith("_:"):
-                continue
-            self._add_edges(name(child), [name(parent)])
+    def node_label(self, node: str) -> Optional[str]:
+        """The stored label attribute for a file-loaded node (reference
+        keeps the un-switched half of the id/label pair as the node's
+        'label' attribute, _ontology.py:335-342)."""
+        return self._labels.get(node)
 
     def _apply_synonyms(self) -> None:
         """Rename ontology nodes to schema keys declared via ``synonym_for``."""

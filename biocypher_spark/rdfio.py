@@ -1,0 +1,578 @@
+"""Minimal RDF triple reader for ontology files (Turtle + RDF/XML).
+
+rdflib is not available in this environment, so this module implements the
+subset of RDF needed to load ontology hierarchy files the way the reference
+does (/root/reference/biocypher/_ontology.py:92-360):
+
+* a Turtle parser (prefixes, ``a``, ``;``/``,`` lists, blank nodes ``[...]``,
+  collections ``(...)``, string literals with ``^^``/``@lang`` tags),
+* an RDF/XML parser on stdlib ``xml.etree`` (``rdf:about/ID/nodeID``,
+  ``rdf:resource``, nested node elements, ``rdf:parseType="Collection"``
+  and ``"Resource"``, DOCTYPE entity expansion),
+* :func:`build_ontology_graph`, which reproduces the reference's
+  ``OntologyAdapter._rdf_to_nx`` pipeline: label-filtered subClassOf /
+  subPropertyOf / rdf:type-Class / rdf:type-ObjectProperty edges,
+  ``owl:intersectionOf`` multiple-inheritance expansion, prefix removal,
+  label normalisation, label/id switching, and root-descendant filtering.
+
+Everything here is driver-side: ontology files are tiny compared to the
+data, and the resulting child->parents dict is broadcast to executors.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+RDFS_SUBCLASSOF = RDFS_NS + "subClassOf"
+RDFS_SUBPROPERTYOF = RDFS_NS + "subPropertyOf"
+RDFS_LABEL = RDFS_NS + "label"
+RDFS_CLASS = RDFS_NS + "Class"
+OWL_OBJECTPROPERTY = OWL_NS + "ObjectProperty"
+OWL_INTERSECTIONOF = OWL_NS + "intersectionOf"
+OWL_EQUIVALENTCLASS = OWL_NS + "equivalentClass"
+
+
+class Literal(str):
+    """String subclass marking literal objects (vs IRI/bnode strings)."""
+
+    __slots__ = ()
+
+
+class ZeroHierarchyEdgesError(ValueError):
+    """An ontology file parsed, but yielded no labelled hierarchy edges."""
+
+
+# ---------------------------------------------------------------------------
+# Turtle
+# ---------------------------------------------------------------------------
+
+_TURTLE_TOKEN = re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<iriref><[^<>"{}|^`\\\s]*>)
+    | (?P<string3>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+    | (?P<string>"(?:[^"\\\n]|\\.)*")
+    | (?P<dtype>\^\^)
+    | (?P<punct>[;,\[\]\(\)])
+    | (?P<dot>\.(?=\s|$))
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
+    | (?P<pname>[^\s;,\[\]\(\)"^]+?(?=\s|[;,\[\]\(\)"]|\.\s|\.$|$))
+    """,
+    re.X,
+)
+
+
+class TurtleParser:
+    """Recursive-descent parser for the Turtle subset in ontology files."""
+
+    def __init__(self, text: str):
+        self.tokens = self._tokenize(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[tuple[str, str, str]] = []
+        self._bnode_n = 0
+
+    @staticmethod
+    def _tokenize(text: str) -> list[tuple[str, str]]:
+        out = []
+        for m in _TURTLE_TOKEN.finditer(text):
+            kind = m.lastgroup
+            if kind == "comment":
+                continue
+            out.append((kind, m.group()))
+        return out
+
+    def _peek(self) -> tuple[str, str]:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else ("eof", "")
+
+    def _next(self) -> tuple[str, str]:
+        tok = self._peek()
+        self.pos += 1
+        return tok
+
+    def _expect(self, kind: str, value: Optional[str] = None) -> str:
+        k, v = self._next()
+        if k != kind or (value is not None and v != value):
+            raise ValueError(f"Turtle parse error: expected {kind} {value or ''}, got {k} {v!r}")
+        return v
+
+    def _bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:tb{self._bnode_n}"
+
+    def _resolve_iri(self, raw: str) -> str:
+        iri = raw[1:-1]
+        if iri and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            iri = self.base + iri
+        return iri
+
+    def _resolve_pname(self, pname: str) -> str:
+        prefix, _, local = pname.partition(":")
+        if prefix in self.prefixes:
+            return self.prefixes[prefix] + local
+        return pname  # unknown prefix: keep verbatim (still a stable key)
+
+    def parse(self) -> list[tuple[str, str, str]]:
+        while self._peek()[0] != "eof":
+            kind, val = self._peek()
+            if kind == "langtag" and val in ("@prefix", "@base"):
+                self._next()
+                if val == "@prefix":
+                    pname = self._expect("pname")
+                    iri = self._expect("iriref")
+                    self.prefixes[pname.rstrip(":")] = iri[1:-1]
+                else:
+                    iri = self._expect("iriref")
+                    self.base = iri[1:-1]
+                self._expect("dot")
+            elif kind == "pname" and val.upper() in ("PREFIX", "BASE"):
+                # SPARQL-style directives (no trailing dot)
+                self._next()
+                if val.upper() == "PREFIX":
+                    pname = self._expect("pname")
+                    iri = self._expect("iriref")
+                    self.prefixes[pname.rstrip(":")] = iri[1:-1]
+                else:
+                    self.base = self._expect("iriref")[1:-1]
+            else:
+                subj = self._parse_term(as_subject=True)
+                self._parse_predicate_object_list(subj)
+                self._expect("dot")
+        return self.triples
+
+    def _parse_term(self, as_subject: bool = False) -> str:
+        kind, val = self._next()
+        if kind == "iriref":
+            return self._resolve_iri(val)
+        if kind in ("string", "string3"):
+            body = val[3:-3] if kind == "string3" else val[1:-1]
+            lit = Literal(re.sub(r"\\(.)", r"\1", body))
+            # optional ^^datatype or @lang
+            k, _ = self._peek()
+            if k == "dtype":
+                self._next()
+                self._next()  # datatype IRI, ignored
+            elif k == "langtag":
+                self._next()
+            return lit
+        if kind == "punct" and val == "[":
+            node = self._bnode()
+            if self._peek() != ("punct", "]"):
+                self._parse_predicate_object_list(node)
+            self._expect("punct", "]")
+            return node
+        if kind == "punct" and val == "(":
+            items = []
+            while self._peek() != ("punct", ")"):
+                items.append(self._parse_term())
+            self._expect("punct", ")")
+            return self._emit_list(items)
+        if kind == "pname":
+            if val == "a" and not as_subject:
+                return RDF_TYPE
+            if val.startswith("_:"):
+                return val
+            if val in ("true", "false"):
+                return Literal(val)
+            return self._resolve_pname(val)
+        raise ValueError(f"Turtle parse error: unexpected {kind} {val!r}")
+
+    def _emit_list(self, items: list[str]) -> str:
+        if not items:
+            return RDF_NIL
+        head = self._bnode()
+        cur = head
+        for i, item in enumerate(items):
+            self.triples.append((cur, RDF_FIRST, item))
+            nxt = self._bnode() if i + 1 < len(items) else RDF_NIL
+            self.triples.append((cur, RDF_REST, nxt))
+            cur = nxt
+        return head
+
+    def _parse_predicate_object_list(self, subj: str) -> None:
+        while True:
+            kind, val = self._peek()
+            if kind == "pname" and val == "a":
+                self._next()
+                pred = RDF_TYPE
+            else:
+                pred = self._parse_term()
+            while True:
+                obj = self._parse_term()
+                self.triples.append((subj, pred, obj))
+                if self._peek() == ("punct", ","):
+                    self._next()
+                else:
+                    break
+            if self._peek() == ("punct", ";"):
+                self._next()
+                # allow trailing ';' before ']' or '.'
+                if self._peek()[0] in ("dot", "eof") or self._peek() == ("punct", "]"):
+                    return
+            else:
+                return
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML
+# ---------------------------------------------------------------------------
+
+_ENTITY_DECL = re.compile(r"<!ENTITY\s+(\S+)\s+(['\"])(.*?)\2\s*>", re.S)
+_DOCTYPE = re.compile(r"<!DOCTYPE[^\[>]*(\[[^\]]*\])?\s*>", re.S)
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+
+_RDF_SYNTAX_ATTRS = {
+    "about",
+    "ID",
+    "nodeID",
+    "resource",
+    "parseType",
+    "datatype",
+}
+
+
+class RdfXmlParser:
+    """RDF/XML reader on stdlib ElementTree.
+
+    Supports the striped node/property element syntax the reference's
+    bundled .owl files use (so/go/mondo.owl, multiple_parent_nodes.owl,
+    sem.file), including DOCTYPE entity declarations (sem.file) which
+    ElementTree refuses by default — they are textually expanded first.
+    """
+
+    def __init__(self, text: str):
+        self.triples: list[tuple[str, str, str]] = []
+        self._bnode_n = 0
+        self.base = ""
+        self.root = self._fromstring(text)
+
+    @staticmethod
+    def _fromstring(text: str) -> ET.Element:
+        m = _DOCTYPE.search(text)
+        if m:
+            entities = {name: val for name, _, val in _ENTITY_DECL.findall(m.group(0))}
+            text = text[: m.start()] + text[m.end() :]
+            if entities:
+                # expand nested entity refs to a fixed point (bounded)
+                for _ in range(5):
+                    new = {k: re.sub(r"&(\w+);", lambda mm: entities.get(mm.group(1), mm.group(0)), v) for k, v in entities.items()}
+                    if new == entities:
+                        break
+                    entities = new
+                text = re.sub(
+                    r"&(\w+);",
+                    lambda mm: entities.get(mm.group(1), mm.group(0)) if mm.group(1) not in ("amp", "lt", "gt", "quot", "apos") else mm.group(0),
+                    text,
+                )
+        return ET.fromstring(text)
+
+    def _bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:xb{self._bnode_n}"
+
+    @staticmethod
+    def _split_tag(tag: str) -> str:
+        """'{ns}local' -> 'nslocal' (IRI of the element name)."""
+        if tag.startswith("{"):
+            ns, _, local = tag[1:].partition("}")
+            return ns + local
+        return tag
+
+    def _resolve(self, ref: str, base: str) -> str:
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+            return ref
+        if ref.startswith("#") or ref == "":
+            return base.split("#", 1)[0] + ref
+        return base.rsplit("/", 1)[0] + "/" + ref if base else ref
+
+    def parse(self) -> list[tuple[str, str, str]]:
+        base = self.root.get(_XML_BASE, "")
+        self.base = base
+        root_iri = self._split_tag(self.root.tag)
+        if root_iri == RDF_NS + "RDF":
+            for child in self.root:
+                self._node_element(child, base)
+        else:
+            self._node_element(self.root, base)
+        return self.triples
+
+    def _node_element(self, el: ET.Element, base: str) -> str:
+        base = el.get(_XML_BASE, base)
+        about = el.get(f"{{{RDF_NS}}}about")
+        id_attr = el.get(f"{{{RDF_NS}}}ID")
+        node_id = el.get(f"{{{RDF_NS}}}nodeID")
+        if about is not None:
+            subj = self._resolve(about, base)
+        elif id_attr is not None:
+            subj = base.split("#", 1)[0] + "#" + id_attr
+        elif node_id is not None:
+            subj = "_:" + node_id
+        else:
+            subj = self._bnode()
+        tag_iri = self._split_tag(el.tag)
+        if tag_iri != RDF_NS + "Description":
+            self.triples.append((subj, RDF_TYPE, tag_iri))
+        # non-syntax attributes are literal properties
+        for attr, val in el.attrib.items():
+            attr_iri = self._split_tag(attr)
+            if attr_iri.startswith(RDF_NS) and attr_iri[len(RDF_NS) :] in _RDF_SYNTAX_ATTRS:
+                continue
+            if attr == _XML_BASE or attr.startswith("{http://www.w3.org/XML/1998/namespace}"):
+                continue
+            self.triples.append((subj, attr_iri, Literal(val)))
+        for prop in el:
+            self._property_element(subj, prop, base)
+        return subj
+
+    def _property_element(self, subj: str, prop: ET.Element, base: str) -> None:
+        pred = self._split_tag(prop.tag)
+        resource = prop.get(f"{{{RDF_NS}}}resource")
+        node_id = prop.get(f"{{{RDF_NS}}}nodeID")
+        parse_type = prop.get(f"{{{RDF_NS}}}parseType")
+        if resource is not None:
+            self.triples.append((subj, pred, self._resolve(resource, base)))
+            return
+        if node_id is not None:
+            self.triples.append((subj, pred, "_:" + node_id))
+            return
+        if parse_type == "Collection":
+            items = [self._node_element(c, base) for c in prop]
+            self.triples.append((subj, pred, self._emit_list(items)))
+            return
+        if parse_type == "Resource":
+            bn = self._bnode()
+            self.triples.append((subj, pred, bn))
+            for sub in prop:
+                self._property_element(bn, sub, base)
+            return
+        if parse_type == "Literal":
+            self.triples.append((subj, pred, Literal(ET.tostring(prop, encoding="unicode", method="text").strip())))
+            return
+        children = list(prop)
+        if children:
+            obj = self._node_element(children[0], base)
+            self.triples.append((subj, pred, obj))
+            return
+        self.triples.append((subj, pred, Literal(prop.text if prop.text is not None else "")))
+
+    def _emit_list(self, items: list[str]) -> str:
+        if not items:
+            return RDF_NIL
+        head = self._bnode()
+        cur = head
+        for i, item in enumerate(items):
+            self.triples.append((cur, RDF_FIRST, item))
+            nxt = self._bnode() if i + 1 < len(items) else RDF_NIL
+            self.triples.append((cur, RDF_REST, nxt))
+            cur = nxt
+        return head
+
+
+# ---------------------------------------------------------------------------
+# Front door
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(path: str, text: str) -> str:
+    """'ttl' | 'rdfxml', from extension then content."""
+    lower = path.lower()
+    if lower.endswith(".ttl"):
+        return "ttl"
+    stripped = text.lstrip()
+    if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE") or stripped.startswith("<rdf:RDF") or stripped.startswith("<RDF"):
+        return "rdfxml"
+    if lower.endswith(".owl") or lower.endswith(".rdf") or lower.endswith(".xml"):
+        # .owl files are usually RDF/XML but can be Turtle-serialized
+        if "@prefix" in text[:4000] or stripped.startswith("@"):
+            return "ttl"
+        return "rdfxml"
+    if "@prefix" in text[:4000] or stripped.startswith("@"):
+        return "ttl"
+    return "rdfxml"
+
+
+def parse_rdf_file(path: str, file_format: Optional[str] = None) -> list[tuple[str, str, str]]:
+    """Parse an ontology file into (s, p, o) triples.
+
+    ``file_format``: None (sniff), 'ttl'/'turtle', or 'owl'/'rdf'/'xml'/
+    'rdfxml' (all meaning RDF/XML — matching the reference's
+    ``_get_format`` mapping, /root/reference/biocypher/_ontology.py:401-416).
+    """
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    fmt = (file_format or "").lower()
+    if fmt in ("ttl", "turtle"):
+        fmt = "ttl"
+    elif fmt in ("owl", "rdf", "xml", "rdfxml", "application/rdf+xml"):
+        fmt = "rdfxml"
+    elif fmt == "obo":
+        raise NotImplementedError("OBO format not yet supported")  # reference parity
+    elif fmt:
+        raise ValueError(f"Could not determine format of ontology file {path}")
+    else:
+        fmt = sniff_format(path, text)
+    if fmt == "ttl":
+        return TurtleParser(text).parse()
+    return RdfXmlParser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# Ontology DAG construction (reference _rdf_to_nx parity)
+# ---------------------------------------------------------------------------
+
+
+def _walk_list(head: str, firsts: dict[str, str], rests: dict[str, str]) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    cur = head
+    while cur and cur != RDF_NIL and cur not in seen:
+        seen.add(cur)
+        if cur in firsts:
+            out.append(firsts[cur])
+        cur = rests.get(cur, RDF_NIL)
+    return out
+
+
+def build_ontology_graph(
+    triples: list[tuple[str, str, str]],
+    root_label: Optional[str] = None,
+    switch_label_and_id: bool = True,
+    remove_prefixes: bool = True,
+    rename_nodes: bool = True,
+) -> tuple[dict[str, list[str]], dict[str, str]]:
+    """Triples -> (child->parents dict, node->label dict).
+
+    Mirrors the reference pipeline (/root/reference/biocypher/_ontology.py:
+    96-342): label-gated subClassOf/subPropertyOf/type-Class/
+    type-ObjectProperty edges, owl:intersectionOf expansion, removal of
+    unlabeled nodes (when their computed id is 'none'), prefix stripping,
+    label normalisation, id/label switching, and root-descendant filtering.
+    Raises ValueError when ``root_label`` is not found (same message shape
+    as the reference's ``_find_root_label``).
+    """
+    from .naming import to_lower_sentence_case
+
+    labels: dict[str, str] = {}
+    for s, p, o in triples:
+        if p == RDFS_LABEL and s not in labels:
+            labels[s] = str(o)
+
+    firsts = {s: o for s, p, o in triples if p == RDF_FIRST}
+    rests = {s: o for s, p, o in triples if p == RDF_REST}
+
+    # one-to-one inheritance edges, subject must carry a label
+    edges: list[tuple[str, str]] = []
+    nodes: set[str] = set()
+    for s, p, o in triples:
+        keep = (
+            p in (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF)
+            or (p == RDF_TYPE and o in (RDFS_CLASS, OWL_OBJECTPROPERTY))
+        )
+        if keep and s in labels and not isinstance(o, Literal):
+            edges.append((s, o))
+            nodes.add(s)
+            nodes.add(o)
+
+    # owl:intersectionOf multiple inheritance
+    inter_nodes: set[str] = set()
+    for s, p, o in triples:
+        if p != OWL_INTERSECTIONOF:
+            continue
+        parents = _walk_list(o, firsts, rests)
+        child = None
+        for s2, p2, o2 in triples:
+            if p2 in (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF) and o2 == s:
+                child = s2
+        if child is None:
+            for s2, p2, o2 in triples:
+                if p2 == OWL_EQUIVALENTCLASS and o2 == s:
+                    child = s2
+        if child is not None:
+            for par in parents:
+                edges.append((child, par))
+                nodes.add(child)
+                nodes.add(par)
+            inter_nodes.add(s)
+    if inter_nodes:
+        edges = [(c, p) for c, p in edges if c not in inter_nodes and p not in inter_nodes]
+        nodes -= inter_nodes
+
+    def strip_prefix(iri: str) -> str:
+        if remove_prefixes:
+            return iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+        return iri
+
+    def id_and_label(node: str) -> tuple[str, str]:
+        node_id = strip_prefix(node)
+        lbl = str(labels.get(node))  # 'None' -> 'none' after normalisation
+        if rename_nodes:
+            lbl = to_lower_sentence_case(lbl.replace("_", " "))
+        if switch_label_and_id:
+            return lbl, node_id
+        return node_id, lbl
+
+    # remove unlabeled nodes (nx_id == 'none'), then relabel
+    mapping: dict[str, str] = {}
+    out_label: dict[str, str] = {}
+    for node in nodes:
+        nx_id, nx_label = id_and_label(node)
+        if nx_id == "none":
+            continue
+        mapping[node] = nx_id
+        out_label[nx_id] = nx_label
+
+    parents: dict[str, list[str]] = {}
+    for c, p in edges:
+        if c not in mapping or p not in mapping:
+            continue
+        cm, pm = mapping[c], mapping[p]
+        if pm != cm and pm not in parents.setdefault(cm, []):
+            parents[cm].append(pm)
+        parents.setdefault(pm, [])
+
+    if not any(ps for ps in parents.values()):
+        raise ZeroHierarchyEdgesError(
+            "ontology parsed to zero labelled hierarchy edges "
+            "(no rdfs:subClassOf / rdfs:subPropertyOf on labelled subjects)"
+        )
+
+    if root_label is not None:
+        root_subject = None
+        for s, lbl in labels.items():
+            if lbl == root_label:
+                root_subject = s
+                break
+        if root_subject is None:
+            raise ValueError(
+                f"Could not find root node with label '{root_label}'. "
+                f"The ontology contains the following labels: {list(labels.values())}"
+            )
+        root_id = id_and_label(root_subject)[0]
+        # keep root + every node that can reach it (descendants of root)
+        children: dict[str, list[str]] = {}
+        for c, ps in parents.items():
+            for p in ps:
+                children.setdefault(p, []).append(c)
+        keep = {root_id}
+        stack = [root_id]
+        while stack:
+            n = stack.pop()
+            for c in children.get(n, []):
+                if c not in keep:
+                    keep.add(c)
+                    stack.append(c)
+        parents = {n: [p for p in ps if p in keep] for n, ps in parents.items() if n in keep}
+        out_label = {n: l for n, l in out_label.items() if n in keep}
+
+    return parents, out_label
