@@ -43,11 +43,10 @@ HEADLINE = [
     "doc_simhash",
     "doc_ngram_jaccard",
     "doc_simhash_near_dup",
-    "doc_lang_id",
+    "doc_text_profile",
     "doc_pii_scrub",
     "doc_repetition",
     "doc_contamination",
-    "doc_contamination_join",
     "doc_dedup_against_near",
     "emb_cosine_topk",
     "emb_ivf_topk",

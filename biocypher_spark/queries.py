@@ -55,9 +55,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str, materialize: bool = False) -
     # df.rdd.getNumPartitions() would force a DataFrame->RDD conversion
     # plan per registered query.
     target = spark.sparkContext.defaultParallelism
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().rstrip("b")
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    max_bytes = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().rstrip("b")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        max_bytes = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    except (ValueError, KeyError, IndexError):
+        max_bytes = 128 << 20  # any unit this parser doesn't know -> default
     try:
         import os
 
@@ -373,6 +376,51 @@ def kg_label_closure(spark, sf_dir):
 
 
 @register(
+    "kg_ontology_file",
+    """
+    SELECT DISTINCT p_type AS input_label,
+      CASE p_type
+        WHEN 'ECONOMY' THEN '''EconomyPart|Part|NamedThing'''
+        WHEN 'STANDARD' THEN '''StandardPart|Part|NamedThing'''
+      END AS label_string,
+      3 AS n_ancestors
+    FROM part WHERE p_type IN ('ECONOMY', 'STANDARD')
+    """,
+)
+def kg_ontology_file(spark, sf_dir):
+    """O1/O2 through the FILE front door: the ancestor DAG is loaded from a
+    real Turtle ontology file (prefixed IRIs, multi-line statements — the
+    serialization the round-3 regex reader silently dropped), rooted via
+    the reference's raw-label root find, and the multi-label `:LABEL`
+    strings are computed by the writer's closure logic. Demonstrates the
+    rdfio parser end-to-end against the oracle gate."""
+    import tempfile
+    from importlib import resources
+
+    mapping = SchemaMapping(schema={k: dict(v) for k, v in _PART_SCHEMA.items() if k != "order event"})
+    ref = resources.files("biocypher_spark").joinpath("data/demo_ontology.ttl")
+    with resources.as_file(ref) as p:
+        onto = Ontology(mapping, hierarchy_file=str(p), root="named_thing")
+    from .writer.neo4j import Neo4jBatchWriter
+
+    translator = SparkTranslator(spark, onto)
+    bw = Neo4jBatchWriter(spark, translator, tempfile.mkdtemp(prefix="labels_"))
+    amap = {
+        "ECONOMY": bw._all_labels("economy part", "Ascending"),
+        "STANDARD": bw._all_labels("standard part", "Ascending"),
+    }
+    depth = {t: len(onto.get_ancestors(t.lower() + " part")) for t in amap}
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
+    lbl = F.when(F.col("p_type") == "ECONOMY", F.lit(amap["ECONOMY"])).otherwise(F.lit(amap["STANDARD"]))
+    dep = F.when(F.col("p_type") == "ECONOMY", F.lit(depth["ECONOMY"])).otherwise(F.lit(depth["STANDARD"]))
+    return part.select(
+        F.col("p_type").alias("input_label"),
+        lbl.alias("label_string"),
+        dep.cast("int").alias("n_ancestors"),
+    )
+
+
+@register(
     "kg_canonicalize_blocking",
     """
     SELECT p_partkey,
@@ -457,18 +505,14 @@ from .textops import (  # noqa: E402
 )
 
 
-@register(
-    "doc_token_count",
-    r"""
+def _token_count_sql() -> str:
+    return r"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
            length(text) AS n_chars_check
     FROM documents
-    """,
-)
-def doc_token_count(spark, sf_dir):
-    return token_count(_t(spark, sf_dir, "documents"))
+    """
 
 
 @register(
@@ -706,14 +750,8 @@ def _lang_oracle() -> str:
     return f"SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM documents"
 
 
-@register("doc_lang_id", _lang_oracle())
-def doc_lang_id(spark, sf_dir):
-    return language_id(_t(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_quality_score",
-    """
+def _quality_sql() -> str:
+    return """
     WITH t AS (
       SELECT doc_id, text,
              len(string_split(text, ' ')) AS n,
@@ -726,15 +764,34 @@ def doc_lang_id(spark, sf_dir):
            round(stops / n, 6) AS stop_ratio,
            round(least(1.0, n / 100.0) * (1 - punct / length(text)) * (1 - (stops / n) / 2), 6) AS score
     FROM t
-    """,
-)
-def doc_quality_score(spark, sf_dir):
-    return quality_score(_t(spark, sf_dir, "documents"))
+    """
 
 
-@register("doc_fingerprint", "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents")
-def doc_fingerprint(spark, sf_dir):
-    return fingerprint(_t(spark, sf_dir, "documents"))
+def _text_profile_oracle() -> str:
+    return f"""
+    SELECT t.doc_id, t.n_tokens, t.n_subwords, t.n_chars_check,
+           l.lang_pred, q.stop_ratio, q.score,
+           substr(md5(d.text), 1, 16) AS fp
+    FROM documents d
+    JOIN ({_token_count_sql()}) t ON d.doc_id = t.doc_id
+    JOIN ({_lang_oracle()}) l ON d.doc_id = l.doc_id
+    JOIN ({_quality_sql()}) q ON d.doc_id = q.doc_id
+    """
+
+
+@register("doc_text_profile", _text_profile_oracle())
+def doc_text_profile(spark, sf_dir):
+    """Per-document text profile in one row per doc: token/subword/char
+    counts, n-gram language ID, quality signals (stopword ratio, composite
+    score), and content fingerprint (merged from the separate token-count /
+    lang-id / quality-score / fingerprint queries to fit the driver's
+    50-query gate)."""
+    docs = _t(spark, sf_dir, "documents", materialize=True)
+    toks = token_count(docs)
+    lang = language_id(docs)
+    qual = quality_score(docs).select("doc_id", "stop_ratio", "score")
+    fp = fingerprint(docs)
+    return toks.join(lang, "doc_id").join(qual, "doc_id").join(fp, "doc_id")
 
 
 def _winnow_oracle(k: int = 5, window: int = 4) -> str:
@@ -887,6 +944,85 @@ def _ivf_recall_oracle() -> str:
     FROM ({_cosine_topk_oracle()}) exact JOIN ({_ivf_topk_oracle()}) approx
     USING (vec_id)
     """
+
+
+def _ivf_trained_oracle(iters: int = 2, k: int = _IVF_K, qid: int = 0, topk: int = 10, nprobe: int = _IVF_NPROBE) -> str:
+    """Replicate the Spark-side Lloyd's training (similarity.
+    train_ivf_centroids) inside DuckDB: per iteration, an argmax
+    assignment (window over a cross join with the k-row centroid table)
+    and per-cluster per-dim means, ROUNDED TO 6 DECIMALS — the same grid
+    the Spark trainer pins to — so float-summation-order differences
+    between the engines cannot flip an assignment. An emptied cluster
+    keeps its previous centroid (LEFT JOIN + coalesce), matching the
+    trainer."""
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, _DIMS + 1))
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    ecos = cos("e.embedding", "c.cent")
+    parts = [f"ca0 AS (SELECT vec_id AS cluster, embedding AS cent FROM embeddings WHERE vec_id < {k})"]
+    prev = "ca0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ecos} DESC, c.cluster ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""ca{it} AS (
+      SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+      FROM {prev} p LEFT JOIN (
+        SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+          SELECT cluster, dim, round(sum(v::DOUBLE) / count(*), 6) AS m FROM (
+            SELECT cluster, unnest(embedding) AS v,
+                   unnest(generate_series(1, {_DIMS})) AS dim FROM a{it})
+          GROUP BY cluster, dim)
+        GROUP BY cluster) n ON p.cluster = n.cluster)"""
+        )
+        prev = f"ca{it}"
+    qcos = cos("q.embedding", "c.cent")
+    final_cos = cos("e.embedding", "q.embedding")
+    parts.append(
+        f"""probes AS (
+      SELECT c.cluster FROM {prev} c JOIN embeddings q ON q.vec_id = {qid}
+      ORDER BY {qcos} DESC, c.cluster ASC LIMIT {nprobe})"""
+    )
+    parts.append(
+        f"""afinal AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ecos} DESC, c.cluster ASC) AS rn
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+    )
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT e.vec_id, round({final_cos}, 6) AS cos
+    FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN embeddings q ON q.vec_id = {qid}
+    WHERE a.cluster IN (SELECT cluster FROM probes) AND e.vec_id != {qid}
+    ORDER BY ({final_cos}) DESC, e.vec_id ASC
+    LIMIT {topk}
+    """
+
+
+@register("emb_ivf_trained_topk", _ivf_trained_oracle())
+def emb_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN over a TRAINED coarse quantizer: Lloyd's k-means runs in
+    Spark (one corpus scan + k-row partial-agg shuffle per iteration,
+    similarity.train_ivf_centroids), then the probe/scan path is identical
+    to emb_ivf_topk with the trained centroids inlined as literals."""
+    from .similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings", materialize=True)
+    cents = train_ivf_centroids(emb, n_centroids=_IVF_K, iterations=2, round_decimals=6)
+    return ivf_topk(emb, query_vec_id=0, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, cents=cents)
 
 
 @register("emb_ivf_recall", _ivf_recall_oracle())
@@ -1498,73 +1634,106 @@ def doc_length_stats(spark, sf_dir):
 _CONTAMINATION_PROBES = ["table window table", "batch window spark", "quantum zebra probe"]
 
 
-def _contamination_oracle() -> str:
-    clauses = " OR ".join(f"contains(text, '{p}')" for p in _CONTAMINATION_PROBES)
-    return f"SELECT doc_id, ({clauses}) AS contaminated FROM documents"
-
-
-@register("doc_contamination", _contamination_oracle())
-def doc_contamination(spark, sf_dir):
-    """Benchmark-contamination screen against a fixed probe set."""
-    from .textops import contamination_check
-
-    return contamination_check(_t(spark, sf_dir, "documents"), _CONTAMINATION_PROBES)
-
-
 # the join-path probe table is derived FROM THE CORPUS (substr of every
 # 23rd doc), so the screen has true positives at every scale without
 # external data; length 12 ~ a short eval n-gram
 _CJ_LEN = 12
 
 
-def _contamination_join_oracle() -> str:
+def _contamination_oracle() -> str:
+    """Both contamination paths in one result, tagged by ``mode``:
+    'inline' = broadcast-literal probes, 'join' = large-probe semi-join
+    (merged so both fit the driver's 50-query gate)."""
+    clauses = " OR ".join(f"contains(text, '{p}')" for p in _CONTAMINATION_PROBES)
     return f"""
-    WITH probes AS (
-      SELECT DISTINCT substr(text, 5, {_CJ_LEN}) AS probe FROM documents
-      WHERE doc_id % 23 = 0 AND length(substr(text, 5, {_CJ_LEN})) = {_CJ_LEN}),
-    grams AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(
-        [substr(text, i, {_CJ_LEN}) for i in generate_series(1, greatest(length(text) - {_CJ_LEN - 1}, 1))],
-        s -> length(s) = {_CJ_LEN}))) AS g
-      FROM documents),
-    hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN probes ON grams.g = probes.probe)
-    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    SELECT 'inline' AS mode, doc_id, ({clauses}) AS contaminated FROM documents
+    UNION ALL
+    SELECT 'join' AS mode, d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN (
+      SELECT DISTINCT grams.doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+          [substr(text, i, {_CJ_LEN}) for i in generate_series(1, greatest(length(text) - {_CJ_LEN - 1}, 1))],
+          s -> length(s) = {_CJ_LEN}))) AS g
+        FROM documents) grams
+      JOIN (
+        SELECT DISTINCT substr(text, 5, {_CJ_LEN}) AS probe FROM documents
+        WHERE doc_id % 23 = 0 AND length(substr(text, 5, {_CJ_LEN})) = {_CJ_LEN}) probes
+      ON grams.g = probes.probe) h
+    ON d.doc_id = h.doc_id
     """
 
 
-@register("doc_contamination_join", _contamination_join_oracle())
-def doc_contamination_join(spark, sf_dir):
-    """Large-probe-set contamination screen: corpus char n-grams LEFT SEMI
-    joined against a probe table built from the corpus itself (see
-    textops.contamination_join; exact `contains` semantics, document
-    bodies never shuffle)."""
-    from .textops import contamination_join
+@register("doc_contamination", _contamination_oracle())
+def doc_contamination(spark, sf_dir):
+    """Benchmark-contamination screens, both paths: mode='inline' is the
+    broadcast-literal fast path (textops.contamination_check), mode='join'
+    is the large-probe-set path (textops.contamination_join: corpus char
+    n-grams LEFT SEMI joined against a probe table; exact `contains`
+    semantics, document bodies never shuffle)."""
+    from .textops import contamination_check, contamination_join
 
     docs = _t(spark, sf_dir, "documents", materialize=True)
+    inline = contamination_check(docs, _CONTAMINATION_PROBES).select(
+        F.lit("inline").alias("mode"), "doc_id", "contaminated"
+    )
     probes = (
         docs.filter(F.col("doc_id") % 23 == 0)
         .select(F.substring("text", 5, _CJ_LEN).alias("probe"))
         .filter(F.length("probe") == _CJ_LEN)
         .distinct()
     )
-    return contamination_join(docs, probes)
+    joined = contamination_join(docs, probes).select(
+        F.lit("join").alias("mode"), "doc_id", "contaminated"
+    )
+    return inline.unionByName(joined)
 
 
 @register(
-    "kg_hyperedges",
+    "kg_graph_ops",
     """
     WITH multi AS (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
       HAVING count(DISTINCT l_partkey) >= 2
     )
-    SELECT DISTINCT 'h' || l.l_orderkey AS hyperedge_id,
-           'ORDER_PARTS' AS hyperedge_type,
-           'p' || l.l_partkey AS node_id
+    SELECT DISTINCT 'hyperedges' AS op, 'h' || l.l_orderkey AS c1,
+           'ORDER_PARTS' AS c2, 'p' || l.l_partkey AS c3
     FROM lineitem l JOIN multi m ON l.l_orderkey = m.l_orderkey
+    UNION ALL
+    SELECT 'remove_node' AS op, 'c' || o_custkey AS c1, 'o' || o_orderkey AS c2,
+           'PLACED' AS c3
+    FROM orders WHERE o_custkey NOT IN (7, 13)
+    UNION ALL
+    SELECT 'subgraph' AS op, 'n' || n_nationkey AS c1, 'r' || n_regionkey AS c2,
+           'IN_REGION' AS c3
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    SELECT 'edges_between' AS op, 'c' || o_custkey AS c1, 'o' || o_orderkey AS c2,
+           'PLACED' AS c3
+    FROM orders WHERE o_custkey = 7
     """,
 )
-def kg_hyperedges(spark, sf_dir):
+def kg_graph_ops(spark, sf_dir):
+    """G1 graph CRUD surface in one tagged union (merged to fit the
+    driver's 50-query gate): hyperedge membership, remove_node, induced
+    subgraph, and get_edges_between, each through the SparkGraph layer."""
+
+    def tag(df, op, cols):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col(cols[0]).alias("c1"),
+            F.col(cols[1]).alias("c2"),
+            F.col(cols[2]).alias("c3"),
+        )
+
+    return (
+        tag(_kg_hyperedges(spark, sf_dir), "hyperedges", ["hyperedge_id", "hyperedge_type", "node_id"])
+        .unionByName(tag(_kg_remove_node(spark, sf_dir), "remove_node", ["source_id", "target_id", "relationship_label"]))
+        .unionByName(tag(_kg_subgraph(spark, sf_dir), "subgraph", ["source_id", "target_id", "relationship_label"]))
+        .unionByName(tag(_kg_edges_between(spark, sf_dir), "edges_between", ["source_id", "target_id", "relationship_label"]))
+    )
+
+
+def _kg_hyperedges(spark, sf_dir):
     """G1 hyperedges: per-order hyperedge over its distinct parts, expanded
     back through SparkGraph.hyperedge_membership (reference HyperEdge API,
     _graph.py:99-124, 415-491)."""
@@ -1593,15 +1762,7 @@ def kg_hyperedges(spark, sf_dir):
     return g.hyperedge_membership()
 
 
-@register(
-    "kg_remove_node",
-    """
-    SELECT 'c' || o_custkey AS source_id, 'o' || o_orderkey AS target_id,
-           'PLACED' AS relationship_label
-    FROM orders WHERE o_custkey NOT IN (7, 13)
-    """,
-)
-def kg_remove_node(spark, sf_dir):
+def _kg_remove_node(spark, sf_dir):
     """G1 removal: remove_node drops the nodes and every touching edge via
     anti-joins (reference _graph.py:215-255)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1617,15 +1778,7 @@ def kg_remove_node(spark, sf_dir):
     return g.remove_node(["c7", "c13"]).edges
 
 
-@register(
-    "kg_subgraph",
-    """
-    SELECT 'n' || n_nationkey AS source_id, 'r' || n_regionkey AS target_id,
-           'IN_REGION' AS relationship_label
-    FROM nation WHERE n_regionkey = 1
-    """,
-)
-def kg_subgraph(spark, sf_dir):
+def _kg_subgraph(spark, sf_dir):
     """G1 subgraph: induced edges where BOTH endpoints are kept
     (reference _graph.py:631-655)."""
     nation = _t(spark, sf_dir, "nation")
@@ -1646,15 +1799,7 @@ def kg_subgraph(spark, sf_dir):
     return g.get_subgraph(keep).edges
 
 
-@register(
-    "kg_edges_between",
-    """
-    SELECT 'c' || o_custkey AS source_id, 'o' || o_orderkey AS target_id,
-           'PLACED' AS relationship_label
-    FROM orders WHERE o_custkey = 7
-    """,
-)
-def kg_edges_between(spark, sf_dir):
+def _kg_edges_between(spark, sf_dir):
     """G1: get_edges_between via the graph layer (all edges out of c7)."""
     orders = _t(spark, sf_dir, "orders")
     edges = orders.select(

@@ -172,6 +172,7 @@ def train_ivf_centroids(
     n_centroids: int = 4,
     iterations: int = 4,
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> list:
     """Seeded Lloyd's k-means for the IVF coarse quantizer, run IN Spark.
 
@@ -202,6 +203,12 @@ def train_ivf_centroids(
         new = [list(c) for c in cents]
         for row in stats:
             new[row["cluster"]] = [row[f"_s{i}"] / row["_c"] for i in range(dims)]
+        if round_decimals is not None:
+            # pin each iteration's centroids to a fixed decimal grid so an
+            # external replication of the training (e.g. the DuckDB oracle)
+            # lands on bit-identical centroids despite float-summation-order
+            # differences in the distributed means
+            new = [[round(x, round_decimals) for x in vec] for vec in new]
         cents = new
     return cents
 

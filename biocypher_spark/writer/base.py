@@ -207,7 +207,15 @@ def ordered_file_assignment(lines_df: DataFrame, batch_size: int) -> DataFrame:
     # range partitioning and the frozen _pid values across the two
     # passes; range partitioning on the unique (_plabel, SEQ) key
     # guarantees every row of chunk p precedes every row of chunk p+1
-    # within a label, so chunk offsets are exact
+    # within a label, so chunk offsets are exact.
+    # DURABILITY: localCheckpoint blocks live unreplicated on executors —
+    # on a multi-executor cluster an executor loss between the counts
+    # pass and the write fails the ordered write (no lineage to
+    # recompute). That is acceptable for this mode: ordered_parts exists
+    # for byte-exact golden parity, and a failed write is re-run from the
+    # source. For fault-tolerant ordered writes at cluster scale, swap in
+    # reliable .checkpoint() (HDFS-backed) or persist(DISK_ONLY_2) here —
+    # same pin, two extra copies.
     ranged = (
         lines_df.repartitionByRange(n, "_plabel", SEQ)
         .sortWithinPartitions("_plabel", SEQ)

@@ -66,21 +66,29 @@ def _xml_name(col):
 
 
 TURTLE_FORMATS = ("turtle", "ttl")
+TRIG_FORMATS = ("trig",)
 XML_FORMATS = ("xml", "rdf/xml", "pretty-xml")
 JSONLD_FORMATS = ("json-ld", "jsonld")
-SUPPORTED_FORMATS = ("ntriples", "nt") + TURTLE_FORMATS + XML_FORMATS + JSONLD_FORMATS
+TRIX_FORMATS = ("trix",)
+SUPPORTED_FORMATS = (
+    ("ntriples", "nt") + TURTLE_FORMATS + TRIG_FORMATS + XML_FORMATS + JSONLD_FORMATS + TRIX_FORMATS
+)
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
 
 
 class RDFWriter:
     """``rdf_format``: ``ntriples`` (default; line-oriented, the scale path),
     ``turtle`` (same triples with @prefix header and prefixed names),
-    ``xml`` (RDF/XML, one ``rdf:Description`` block per row), or ``json-ld``
-    (a ``@graph`` of per-row node objects, JSON-escaped JVM-side via
-    ``to_json``) — all serialized from string templates / built-in
-    expressions, the schema-regular subset the reference's rdflib serializer
-    emits for this data model (reference ``_RDFWriter`` formats beyond
-    these, e.g. trig/trix, would need rdflib, which is unavailable here;
-    requesting one raises with that explanation)."""
+    ``trig`` (turtle inside a default-graph block), ``xml`` (RDF/XML, one
+    ``rdf:Description`` block per row), ``json-ld`` (a ``@graph`` of
+    per-row node objects, JSON-escaped JVM-side via ``to_json``), or
+    ``trix`` (schema-regular TriX XML, one ``<triple>`` element per
+    emitted triple) — all serialized from string templates / built-in
+    expressions, matching the reference ``_RDFWriter``'s rdflib format
+    switch without rdflib (n3 is accepted as turtle by rdflib and not
+    separately emitted here)."""
 
     def __init__(
         self,
@@ -92,28 +100,35 @@ class RDFWriter:
     ):
         if rdf_format not in SUPPORTED_FORMATS:
             raise ValueError(
-                f"rdf_format {rdf_format!r} not supported: only {SUPPORTED_FORMATS} can be "
-                "emitted without rdflib (absent in this environment); the reference's "
-                "remaining serializations (trig/trix/n3/...) need rdflib vocabulary handling"
+                f"rdf_format {rdf_format!r} not supported: one of {SUPPORTED_FORMATS} "
+                "(the serializations the reference's rdflib switch emits for this data model)"
             )
         self.spark = spark
         self.translator = translator
         self.outdir = output_directory
         self.ns = namespace
-        self.turtle = rdf_format in TURTLE_FORMATS
+        self.trig = rdf_format in TRIG_FORMATS
+        self.turtle = rdf_format in TURTLE_FORMATS or self.trig
         self.xml = rdf_format in XML_FORMATS
         self.jsonld = rdf_format in JSONLD_FORMATS
+        self.trix = rdf_format in TRIX_FORMATS
         os.makedirs(self.outdir, exist_ok=True)
 
     @property
     def _ext(self) -> str:
+        if self.trig:
+            return "trig"
         if self.turtle:
             return "ttl"
         if self.xml:
             return "xml"
+        if self.trix:
+            return "trix"
         return "jsonld" if self.jsonld else "nt"
 
     def _header(self) -> str:
+        if self.trix:
+            return f'<?xml version="1.0" encoding="utf-8"?>\n<TriX xmlns="{_TRIX_NS}">\n  <graph>\n'
         if self.xml:
             return (
                 '<?xml version="1.0" encoding="utf-8"?>\n'
@@ -129,10 +144,14 @@ class RDFWriter:
                 '"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"},\n'
                 '  "@graph": [\n'
             )
-        return (
+        turtle_header = (
             f"@prefix bc: <{self.ns}> .\n"
             "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n\n"
         )
+        if self.trig:
+            # TriG: the same turtle triples inside a default-graph block
+            return turtle_header + "{\n"
+        return turtle_header
 
     def _write_label_file(self, lines: DataFrame, filename: str) -> str:
         tmp = os.path.join(self.outdir, "_tmp_rdf")
@@ -151,12 +170,16 @@ class RDFWriter:
                     out.write("    " + line.rstrip("\n"))
                 out.write("\n  ]\n}\n")
             os.remove(part)
-        elif self.turtle or self.xml:
+        elif self.turtle or self.xml or self.trix:
             with open(target, "w") as out, open(part) as src:
                 out.write(self._header())
                 shutil.copyfileobj(src, out)
                 if self.xml:
                     out.write("</rdf:RDF>\n")
+                elif self.trix:
+                    out.write("  </graph>\n</TriX>\n")
+                elif self.trig:
+                    out.write("}\n")
             os.remove(part)
         else:
             shutil.move(part, target)
@@ -201,10 +224,43 @@ class RDFWriter:
                             F.lit("@type"),
                             F.lit(f"bc:{pascal}"),
                         ),
-                        F.transform_values("props", lambda _k, v: json_pystr(v)),
+                        # property keys are namespaced (and IRI-sanitized)
+                        # like every other format: un-prefixed keys are not
+                        # declared in @context so JSON-LD expansion would
+                        # silently drop them, and a key literally named
+                        # '@id'/'@type' would collide in map_concat
+                        F.transform_values(
+                            F.transform_keys("props", lambda k, _v: F.concat(F.lit("bc:"), _safe_id(k))),
+                            lambda _k, v: json_pystr(v),
+                        ),
                     )
                 )
                 lines = sub.select(obj.alias("value"))
+                written.append(
+                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
+                )
+                continue
+            if self.trix:
+                subj = F.concat(
+                    F.lit(f"    <triple><uri>{self.ns}"), _safe_id(F.col("node_id")), F.lit("</uri>")
+                )
+                type_line = F.concat(
+                    subj, F.lit(f"<uri>{_RDF_NS}type</uri><uri>{self.ns}{pascal}</uri></triple>")
+                )
+                prop_lines = F.transform(
+                    F.map_entries("props"),
+                    lambda e: F.concat(
+                        subj,
+                        F.lit(f"<uri>{self.ns}"),
+                        _safe_id(e["key"]),
+                        F.lit("</uri><plainLiteral>"),
+                        _escape_xml(json_pystr(e["value"])),
+                        F.lit("</plainLiteral></triple>"),
+                    ),
+                )
+                lines = sub.select(
+                    F.explode(F.concat(F.array(type_line), prop_lines)).alias("value")
+                )
                 written.append(
                     self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
                 )
@@ -281,6 +337,36 @@ class RDFWriter:
                     F.when(F.col("relationship_id").isNotNull(), reified)
                     .otherwise(direct)
                     .alias("value")
+                )
+                written.append(
+                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
+                )
+                continue
+            if self.trix:
+                uri = lambda col: F.concat(F.lit(f"<uri>{self.ns}"), _safe_id(col), F.lit("</uri>"))  # noqa: E731
+                direct = F.concat(
+                    F.lit("    <triple>"),
+                    uri(F.col("source_id")),
+                    F.lit(f"<uri>{self.ns}{pascal}</uri>"),
+                    uri(F.col("target_id")),
+                    F.lit("</triple>"),
+                )
+                rel = uri(F.col("relationship_id"))
+                reified = F.concat(
+                    F.lit("    <triple>"),
+                    rel,
+                    F.lit(f"<uri>{_RDF_NS}type</uri><uri>{self.ns}{pascal}</uri></triple>\n    <triple>"),
+                    rel,
+                    F.lit(f"<uri>{_RDF_NS}subject</uri>"),
+                    uri(F.col("source_id")),
+                    F.lit("</triple>\n    <triple>"),
+                    rel,
+                    F.lit(f"<uri>{_RDF_NS}object</uri>"),
+                    uri(F.col("target_id")),
+                    F.lit("</triple>"),
+                )
+                lines = sub.select(
+                    F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
                 )
                 written.append(
                     self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")

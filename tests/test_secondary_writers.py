@@ -121,8 +121,56 @@ def test_rdf_writer_turtle(spark, translator, tmp_path):
 def test_rdf_writer_unsupported_format(spark, translator, tmp_path):
     import pytest
 
-    with pytest.raises(ValueError, match="rdflib"):
-        RDFWriter(spark, translator, str(tmp_path), rdf_format="trig")
+    with pytest.raises(ValueError, match="not supported"):
+        RDFWriter(spark, translator, str(tmp_path), rdf_format="hext")
+
+
+def test_rdf_writer_trig(spark, translator, tmp_path):
+    """TriG: the turtle triples inside a default-graph block (reference
+    _rdf.py accepts any rdflib format incl. trig)."""
+    out = tmp_path / "trig"
+    w = RDFWriter(spark, translator, str(out), rdf_format="trig")
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    trig = read(out / "Protein.trig")
+    assert trig.startswith("@prefix bc: <https://biocypher.org/biocypher#> .")
+    body = trig.split("{", 1)[1].rsplit("}", 1)[0]
+    assert "bc:p1 rdf:type bc:Protein ." in body
+    assert trig.rstrip().endswith("}")
+    ent = read(out / "PERTURBED_IN_DISEASE.trig")
+    assert "rdf:subject bc:p" in ent and ent.rstrip().endswith("}")
+
+
+def test_rdf_writer_trix(spark, translator, tmp_path):
+    """TriX: schema-regular XML, one <triple> element per emitted triple,
+    well-formed per the stdlib parser."""
+    import xml.etree.ElementTree as ET
+
+    out = tmp_path / "trix"
+    w = RDFWriter(spark, translator, str(out), rdf_format="trix")
+    nodes = translator.translate_nodes(nodes_from_tuples(spark, protein_nodes(2))).nodes
+    edges = translator.translate_edges(edges_from_tuples(spark, perturbed_edges(3)[1:])).edges
+    w.write_nodes(nodes)
+    w.write_edges(edges)
+    doc = ET.fromstring(read(out / "Protein.trix"))
+    ns = "{http://www.w3.org/2004/03/trix/trix-1/}"
+    triples = doc.findall(f"{ns}graph/{ns}triple")
+    assert len(triples) > 2  # type triple + property triples per node
+    # every triple has exactly 3 term children; terms are uri/plainLiteral
+    for t in triples:
+        assert len(t) == 3
+        assert all(c.tag in (f"{ns}uri", f"{ns}plainLiteral") for c in t)
+    # the nt path emits the same number of node triples
+    w2 = RDFWriter(spark, translator, str(tmp_path / "nt2"))
+    w2.write_nodes(nodes)
+    nt_lines = [l for l in read(tmp_path / "nt2" / "Protein.nt").splitlines() if l]
+    assert len(triples) == len(nt_lines)
+    # reified edges: 3 triples per edge row
+    edoc = ET.fromstring(read(out / "PERTURBED_IN_DISEASE.trix"))
+    etr = edoc.findall(f"{ns}graph/{ns}triple")
+    assert len(etr) % 3 == 0 and len(etr) > 0
 
 
 def test_rdf_writer_jsonld(spark, translator, tmp_path):
@@ -142,7 +190,10 @@ def test_rdf_writer_jsonld(spark, translator, tmp_path):
     assert len(graph) == 2
     byid = {g["@id"]: g for g in graph}
     assert byid["bc:p1"]["@type"] == "bc:Protein"
-    assert "name" in byid["bc:p1"]
+    # property keys are bc:-namespaced so @context covers them (un-prefixed
+    # keys would be silently dropped by JSON-LD expansion)
+    assert "bc:name" in byid["bc:p1"]
+    assert not any(k for k in byid["bc:p1"] if not k.startswith(("@", "bc:", "rdf:")))
     ent = json.loads(read(out / "PERTURBED_IN_DISEASE.jsonld"))
     for g in ent["@graph"]:
         assert g["@type"] == "bc:PERTURBED_IN_DISEASE"

@@ -89,6 +89,23 @@ def test_simhash64_shape_and_near_dup(docs):
         assert h == ham(sh[a], sh[b]) and h <= 3
 
 
+def test_simhash_keeps_null_and_empty_text_rows(spark):
+    """Docs with null text (or no tokens) must still emit a row — the
+    explode+groupBy shape would silently drop them (round-3 advice); the
+    sentinel token maps them to the all-zero hash without a repair join."""
+    from biocypher_spark.textops import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    rows16 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert set(rows16) == {1, 2, 3}
+    assert rows16[2] == 0
+    rows64 = {r["doc_id"]: r["simhash64"] for r in simhash64(docs).collect()}
+    assert set(rows64) == {1, 2, 3}
+    assert rows64[2] == "0" * 16
+
+
 def test_exact_dedup_hashed_key_equivalent(docs):
     by_hash = {(r["rep_id"], r["n"]) for r in exact_dedup(docs).collect()}
     by_text = {
