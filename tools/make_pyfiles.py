@@ -14,7 +14,7 @@ def main() -> None:
             if "__pycache__" in dirpath:
                 continue
             for name in filenames:
-                if name.endswith(".py") or name.endswith(".yaml"):
+                if name.endswith((".py", ".yaml", ".ttl")):
                     full = os.path.join(dirpath, name)
                     zf.write(full, os.path.relpath(full, ROOT))
         # ship the default schema config alongside
