@@ -35,6 +35,8 @@ class BioCypherSpark:
         schema: Optional[dict] = None,
         head_ontology_parent_map: Optional[dict] = None,
         head_ontology_file: Optional[str] = None,
+        head_ontology: Optional[dict] = None,
+        tail_ontologies: Optional[dict] = None,
         strict_mode: bool = False,
         session_factory=None,
         **writer_kwargs,
@@ -46,7 +48,13 @@ class BioCypherSpark:
         self.strict_mode = strict_mode
         self.session_factory = session_factory
         self.mapping = SchemaMapping(config_file=schema_config_path, schema=schema)
-        if head_ontology_parent_map or head_ontology_file:
+        if head_ontology:
+            # reference-style dict config: {"url", "root_node", ...} with
+            # optional tail ontologies grafted at join nodes
+            from .ontology import hybrid_ontology
+
+            self.ontology = hybrid_ontology(self.mapping, head_ontology, tail_ontologies)
+        elif head_ontology_parent_map or head_ontology_file:
             self.ontology = Ontology(
                 self.mapping, parent_map=head_ontology_parent_map, hierarchy_file=head_ontology_file
             )

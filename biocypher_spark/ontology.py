@@ -49,6 +49,60 @@ class NullOntology:
         return {lab: [lab] for lab in labels}
 
 
+def hybrid_ontology(
+    mapping: Optional[SchemaMapping],
+    head_ontology: dict,
+    tail_ontologies: Optional[dict] = None,
+) -> "Ontology":
+    """The reference's dict-config ontology front door (reference
+    ``Ontology.__init__``/``_main``, /root/reference/biocypher/_ontology.py:
+    480-565): load the head ontology file, graft each tail ontology's
+    subtree at its join nodes, THEN apply schema synonyms/extensions to the
+    combined DAG.
+
+    ``head_ontology``: {"url", "root_node", "format"?,
+    "switch_label_and_id"?}. ``tail_ontologies``: {name: {"url",
+    "head_join_node", "tail_join_node", "format"?, "merge_nodes"?,
+    "switch_label_and_id"?}} — the tail is loaded rooted at its
+    tail_join_node, so the grafted subtree is exactly the reference's
+    dfs subtree."""
+    head = Ontology(
+        mapping=None,
+        hierarchy_file=head_ontology["url"],
+        root=head_ontology.get("root_node"),
+        switch_label_and_id=head_ontology.get("switch_label_and_id", True),
+        file_format=head_ontology.get("format"),
+    )
+    head_switched = head_ontology.get("switch_label_and_id", True)
+    for conf in (tail_ontologies or {}).values():
+        tail = Ontology(
+            mapping=None,
+            hierarchy_file=conf["url"],
+            root=conf.get("tail_join_node"),
+            switch_label_and_id=conf.get("switch_label_and_id", True),
+            file_format=conf.get("format"),
+        )
+
+        def resolve(onto: "Ontology", raw_label: str, switched: bool) -> Optional[str]:
+            norm = to_lower_sentence_case(raw_label.replace("_", " "))
+            return norm if switched else onto._find_node_by_label(norm)
+
+        head_join = resolve(head, conf["head_join_node"], head_switched)
+        if head_join not in head._parents:
+            raise ValueError(
+                f"Head join node '{head_join}' not found in head ontology. "
+                f"The head ontology contains the following nodes: {list(head._parents)}."
+            )
+        tail_join = resolve(tail, conf["tail_join_node"], conf.get("switch_label_and_id", True))
+        head._labels.update(tail._labels)
+        head.graft(tail, head_join, tail_join, merge_nodes=conf.get("merge_nodes", True))
+    if mapping is not None:
+        head.mapping = mapping
+        head._apply_synonyms()
+        head._extend_with_schema()
+    return head
+
+
 class Ontology:
     """DAG of child -> parents edges with schema extension and synonyms."""
 
@@ -150,6 +204,16 @@ class Ontology:
         'label' attribute, _ontology.py:335-342)."""
         return self._labels.get(node)
 
+    def _find_node_by_label(self, normalized_label: str) -> Optional[str]:
+        """Node id whose stored label attribute equals the normalized label
+        (used to resolve join nodes when ids are IRI locals,
+        switch_label_and_id=False — reference _get_head_join_node,
+        _ontology.py:578-589)."""
+        for node, lbl in self._labels.items():
+            if lbl == normalized_label:
+                return node
+        return None
+
     def _apply_synonyms(self) -> None:
         """Rename ontology nodes to schema keys declared via ``synonym_for``."""
         renames = {}
@@ -176,6 +240,18 @@ class Ontology:
             chain = to_list(conf.get("is_a"))
             if not chain:
                 if cls not in self._parents:
+                    if self._labels and not conf.get("synonym_for"):
+                        # a real vocabulary was file-loaded: a schema class
+                        # that is neither in it nor declares inheritance is
+                        # a spelling/config error (reference
+                        # _extend_ontology, _ontology.py:659-676)
+                        raise ValueError(
+                            f"Class `{cls}` not found in ontology, but also has no inheritance "
+                            "definition. Please check your schema for spelling errors, first "
+                            "letter not in lower case, use of underscores, a missing `is_a` "
+                            "definition (SubClassOf a root node), or missing labels in class "
+                            "or super-classes."
+                        )
                     self._parents.setdefault(cls, [])
                 continue
             prev = cls

@@ -175,6 +175,152 @@ def test_file_loaded_ontology_with_schema_extension():
     assert "sequence variant" in anc
 
 
+def test_hybrid_config_switched():
+    # reference test_switch_id_and_label_from_yaml_config (test_ontology.py:
+    # 222-246): head + tail both switched; tail root merges into the head
+    # join node
+    from biocypher_spark.ontology import hybrid_ontology
+
+    o = hybrid_ontology(
+        None,
+        head_ontology={
+            "url": f"{ONT}/reverse_labels.ttl",
+            "root_node": "Label_Root",
+            "switch_label_and_id": True,
+        },
+        tail_ontologies={
+            "tail": {
+                "url": f"{ONT}/missing_label.ttl",
+                "head_join_node": "Label_Level1A",
+                "tail_join_node": "Test_Missing_Label_Root",
+                "switch_label_and_id": True,
+            }
+        },
+    )
+    expected = {"label level1b", "label root", "label level1a", "test missing label level1a"}
+    assert set(o.nodes()) == expected
+    anc = o.get_ancestors("test missing label level1a")
+    assert anc == ["test missing label level1a", "label level1a", "label root"]
+
+
+def test_hybrid_config_mixed_switch():
+    # reference test_mixed_switch_id_and_label_from_yaml_config: tail keeps
+    # IRI-local ids (ID_1A) while the head uses labels
+    from biocypher_spark.ontology import hybrid_ontology
+
+    o = hybrid_ontology(
+        None,
+        head_ontology={
+            "url": f"{ONT}/reverse_labels.ttl",
+            "root_node": "Label_Root",
+            "switch_label_and_id": True,
+        },
+        tail_ontologies={
+            "tail": {
+                "url": f"{ONT}/missing_label.ttl",
+                "head_join_node": "Label_Level1A",
+                "tail_join_node": "Test_Missing_Label_Root",
+                "switch_label_and_id": False,
+            }
+        },
+    )
+    assert set(o.nodes()) == {"label level1b", "label root", "label level1a", "ID_1A"}
+
+
+def test_hybrid_config_no_switch():
+    # reference test_do_not_switch_id_and_label_from_yaml_config
+    from biocypher_spark.ontology import hybrid_ontology
+
+    o = hybrid_ontology(
+        None,
+        head_ontology={
+            "url": f"{ONT}/reverse_labels.ttl",
+            "root_node": "Label_Root",
+            "switch_label_and_id": False,
+        },
+        tail_ontologies={
+            "tail": {
+                "url": f"{ONT}/missing_label.ttl",
+                "head_join_node": "Label_Level1A",
+                "tail_join_node": "Test_Missing_Label_Root",
+                "switch_label_and_id": False,
+            }
+        },
+    )
+    assert set(o.nodes()) == {"ID_0", "ID_1", "ID_2", "ID_1A"}
+
+
+def test_hybrid_config_head_join_not_found():
+    # reference test_head_join_node_not_found message shape
+    from biocypher_spark.ontology import hybrid_ontology
+
+    with pytest.raises(ValueError) as err:
+        hybrid_ontology(
+            None,
+            head_ontology={"url": f"{ONT}/reverse_labels.ttl", "root_node": "Label_Root"},
+            tail_ontologies={
+                "tail": {
+                    "url": f"{ONT}/missing_label.ttl",
+                    "head_join_node": "not present",
+                    "tail_join_node": "Test_Missing_Label_Root",
+                }
+            },
+        )
+    msg = str(err.value)
+    assert "Head join node 'not present' not found in head ontology." in msg
+    assert "label level1a" in msg and "label root" in msg and "label level1b" in msg
+
+
+def test_hybrid_config_merge_nodes_false():
+    # merge_nodes=False attaches the tail join node as a CHILD of the head
+    # join node (reference _join_ontologies, _ontology.py:633-642)
+    from biocypher_spark.ontology import hybrid_ontology
+
+    o = hybrid_ontology(
+        None,
+        head_ontology={"url": f"{ONT}/reverse_labels.ttl", "root_node": "Label_Root"},
+        tail_ontologies={
+            "tail": {
+                "url": f"{ONT}/missing_label.ttl",
+                "head_join_node": "Label_Level1A",
+                "tail_join_node": "Test_Missing_Label_Root",
+                "merge_nodes": False,
+            }
+        },
+    )
+    anc = o.get_ancestors("test missing label level1a")
+    assert anc == [
+        "test missing label level1a",
+        "test missing label root",
+        "label level1a",
+        "label root",
+    ]
+
+
+def test_disconnected_schema_class_raises():
+    # reference test_disconnected_exception: a schema class with no is_a
+    # and absent from the loaded vocabulary is a config error
+    from biocypher_spark.mapping import SchemaMapping
+
+    mapping = SchemaMapping(schema={"nonexistent class": {"represented_as": "node", "input_label": "x"}})
+    with pytest.raises(ValueError, match="not found in ontology"):
+        Ontology(mapping=mapping, hierarchy_file=f"{ONT}/so.owl", root="sequence_variant")
+
+
+def test_facade_head_tail_ontology_config(spark):
+    # the BioCypherSpark facade accepts the reference's head/tail dict
+    # config end-to-end
+    from biocypher_spark.core import BioCypherSpark
+
+    bc = BioCypherSpark(
+        spark,
+        schema={"custom variant": {"is_a": "lethal variant", "represented_as": "node", "input_label": "cv"}},
+        head_ontology={"url": f"{ONT}/so.owl", "root_node": "sequence_variant"},
+    )
+    anc = bc.ontology.get_ancestors("custom variant")
+    assert "sequence variant" in anc
+
+
 def test_graft_file_loaded_tail():
     # hybridisation with two file-loaded ontologies (reference hybrid fixture
     # shape: head + so tail merged at a join node)
