@@ -296,7 +296,13 @@ def stream_kg(
         for f in glob.glob(os.path.join(output_directory, "*-part*.csv")):
             if os.path.basename(f) not in committed:
                 os.remove(f)
-        mentions = stream_mentions(batch_df, pats)  # plain batch DF inside foreachBatch
+        # plain batch DF inside foreachBatch. localCheckpoint materializes
+        # the mapInPandas extraction ONCE per micro-batch: the writer path
+        # downstream runs several independent actions (seen-dedup counts,
+        # first-row collects, the part write), each of which would
+        # otherwise re-run the extraction over the whole batch (measured
+        # 5-7 recomputes per batch; the dominant cost of the stream)
+        mentions = stream_mentions(batch_df, pats).localCheckpoint()
         if mentions.limit(1).count() == 0:
             parts = state["part_files"]
         else:
