@@ -309,6 +309,14 @@ def stream_kg(
             batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
             linked = link_mentions(mentions, mapping=batch_mapping)
             node_tuples, edge_tuples = build_triple_tuples(linked)
+            # materialize the tiny tuple frames (distinct entities / edges of
+            # the batch) so the writer's several downstream actions per side
+            # (seen-dedup count, first-rows collect, part write, seen-state
+            # parquet) run over a few hundred cached rows instead of each
+            # re-running the identity-mapping distinct + link join + groupBy
+            # chains over the whole micro-batch
+            node_tuples = node_tuples.localCheckpoint()
+            edge_tuples = edge_tuples.localCheckpoint()
             tn = translator.translate_nodes(node_tuples)
             te = translator.translate_edges(edge_tuples)
             writer.write_nodes(tn.nodes)
