@@ -122,8 +122,11 @@ class Ontology:
         file_root_applied = False
         if hierarchy_file:
             fmt = (file_format or "").lower()
+            # ANY explicit non-YAML format routes to the RDF reader so an
+            # unsupported value hits parse_rdf_file's clear format error
+            # instead of falling into yaml.safe_load of a Turtle/XML file
             is_rdf = (
-                fmt in ("ttl", "turtle", "owl", "rdf", "xml", "rdfxml", "obo")
+                (fmt and fmt not in ("yaml", "yml"))
                 or (not fmt and hierarchy_file.lower().endswith((".ttl", ".owl", ".rdf", ".xml")))
                 or (not fmt and self._sniff_rdf(hierarchy_file))
             )
@@ -153,13 +156,14 @@ class Ontology:
     @staticmethod
     def _sniff_rdf(path: str) -> bool:
         """True when an extensionless hierarchy file is RDF (XML or Turtle)."""
+        from .rdfio import looks_like_rdf_text
+
         try:
             with open(path, encoding="utf-8", errors="replace") as fh:
                 head = fh.read(4000)
         except OSError:
             return False
-        stripped = head.lstrip()
-        return stripped.startswith(("<?xml", "<!DOCTYPE", "<rdf:RDF", "<RDF", "@prefix", "@base")) or "@prefix" in head
+        return looks_like_rdf_text(head)
 
     def _load_rdf(
         self,

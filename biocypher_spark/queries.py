@@ -111,6 +111,41 @@ def _part_translator(spark) -> SparkTranslator:
     return SparkTranslator(spark, NullOntology(SchemaMapping(schema=dict(_PART_SCHEMA))))
 
 
+def _part_schema_mapping() -> SchemaMapping:
+    return SchemaMapping(schema={k: dict(v) for k, v in _PART_SCHEMA.items() if k != "order event"})
+
+
+_LABELS_SCRATCH: list[str] = []
+
+
+def _labels_scratch_dir() -> str:
+    """One scratch dir per process for label-string writers (``_all_labels``
+    computes strings driver-side and writes nothing, but the writer requires
+    an outdir); cached so bench repeats don't leak a tempdir per call."""
+    if not _LABELS_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="labels_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _LABELS_SCRATCH.append(d)
+    return _LABELS_SCRATCH[0]
+
+
+def _part_label_map(spark, onto: Ontology) -> dict[str, str]:
+    """Per-p_type multi-label ``:LABEL`` strings via the Neo4j writer's
+    ancestor-closure logic (shared by kg_label_closure / kg_ontology_file
+    so the two oracle pairs cannot drift)."""
+    from .writer.neo4j import Neo4jBatchWriter
+
+    bw = Neo4jBatchWriter(spark, SparkTranslator(spark, onto), _labels_scratch_dir())
+    return {
+        "ECONOMY": bw._all_labels("economy part", "Ascending"),
+        "STANDARD": bw._all_labels("standard part", "Ascending"),
+    }
+
+
 def _staged_part_nodes(spark, sf_dir) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     return part.select(
@@ -358,18 +393,11 @@ def kg_connected_components(spark, sf_dir):
 )
 def kg_label_closure(spark, sf_dir):
     """O1/O2: ancestor :LABEL strings precomputed driver-side, broadcast."""
-    mapping = SchemaMapping(schema={k: dict(v) for k, v in _PART_SCHEMA.items() if k != "order event"})
-    onto = Ontology(mapping, parent_map={"economy part": "part", "standard part": "part", "part": "named thing"})
-    from .writer.neo4j import Neo4jBatchWriter  # label-string logic
-
-    translator = SparkTranslator(spark, onto)
-    import tempfile
-
-    bw = Neo4jBatchWriter(spark, translator, tempfile.mkdtemp(prefix="labels_"))
-    amap = {
-        "ECONOMY": bw._all_labels("economy part", "Ascending"),
-        "STANDARD": bw._all_labels("standard part", "Ascending"),
-    }
+    onto = Ontology(
+        _part_schema_mapping(),
+        parent_map={"economy part": "part", "standard part": "part", "part": "named thing"},
+    )
+    amap = _part_label_map(spark, onto)
     part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
     expr = F.when(F.col("p_type") == "ECONOMY", F.lit(amap["ECONOMY"])).otherwise(F.lit(amap["STANDARD"]))
     return part.select(F.col("p_type").alias("input_label"), expr.alias("label_string"))
@@ -394,21 +422,12 @@ def kg_ontology_file(spark, sf_dir):
     the reference's raw-label root find, and the multi-label `:LABEL`
     strings are computed by the writer's closure logic. Demonstrates the
     rdfio parser end-to-end against the oracle gate."""
-    import tempfile
     from importlib import resources
 
-    mapping = SchemaMapping(schema={k: dict(v) for k, v in _PART_SCHEMA.items() if k != "order event"})
     ref = resources.files("biocypher_spark").joinpath("data/demo_ontology.ttl")
     with resources.as_file(ref) as p:
-        onto = Ontology(mapping, hierarchy_file=str(p), root="named_thing")
-    from .writer.neo4j import Neo4jBatchWriter
-
-    translator = SparkTranslator(spark, onto)
-    bw = Neo4jBatchWriter(spark, translator, tempfile.mkdtemp(prefix="labels_"))
-    amap = {
-        "ECONOMY": bw._all_labels("economy part", "Ascending"),
-        "STANDARD": bw._all_labels("standard part", "Ascending"),
-    }
+        onto = Ontology(_part_schema_mapping(), hierarchy_file=str(p), root="named_thing")
+    amap = _part_label_map(spark, onto)
     depth = {t: len(onto.get_ancestors(t.lower() + " part")) for t in amap}
     part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
     lbl = F.when(F.col("p_type") == "ECONOMY", F.lit(amap["ECONOMY"])).otherwise(F.lit(amap["STANDARD"]))
@@ -492,16 +511,12 @@ from .textops import (  # noqa: E402
     MINHASH_SEEDS,
     SIMHASH_BITS,
     exact_dedup,
-    fingerprint,
-    language_id,
     minhash_banded_pairs,
     minhash_dedup,
     ngram_jaccard_pairs,
-    quality_score,
     simhash,
     simhash64,
     simhash_near_dup,
-    token_count,
 )
 
 
@@ -786,12 +801,9 @@ def doc_text_profile(spark, sf_dir):
     score), and content fingerprint (merged from the separate token-count /
     lang-id / quality-score / fingerprint queries to fit the driver's
     50-query gate)."""
-    docs = _t(spark, sf_dir, "documents", materialize=True)
-    toks = token_count(docs)
-    lang = language_id(docs)
-    qual = quality_score(docs).select("doc_id", "stop_ratio", "score")
-    fp = fingerprint(docs)
-    return toks.join(lang, "doc_id").join(qual, "doc_id").join(fp, "doc_id")
+    from .textops import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
 
 
 def _winnow_oracle(k: int = 5, window: int = 4) -> str:
@@ -953,30 +965,42 @@ def _ivf_trained_oracle(iters: int = 2, k: int = _IVF_K, qid: int = 0, topk: int
     and per-cluster per-dim means, ROUNDED TO 6 DECIMALS — the same grid
     the Spark trainer pins to — so float-summation-order differences
     between the engines cannot flip an assignment. An emptied cluster
-    keeps its previous centroid (LEFT JOIN + coalesce), matching the
-    trainer."""
+    keeps its previous centroid ROUNDED (LEFT JOIN + coalesce over
+    ``list_transform(round)``), matching the trainer, which rounds the
+    whole centroid list each iteration including carried-over entries.
+
+    Memory shape: vector norms are computed ONCE in ``enorm`` and centroid
+    norms once per k-row table, so every cosine in the big cross-join
+    windows is a single {_DIMS}-term dot plus one divide — the naive
+    3-dots-per-cosine inlining tripled expression width and could OOM
+    DuckDB when the gate runs alongside a resident Spark JVM."""
 
     def dot(a: str, b: str) -> str:
         return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, _DIMS + 1))
 
-    def cos(a: str, b: str) -> str:
-        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
-
-    ecos = cos("e.embedding", "c.cent")
-    parts = [f"ca0 AS (SELECT vec_id AS cluster, embedding AS cent FROM embeddings WHERE vec_id < {k})"]
+    # same float ops as inlined sqrt products: sqrt of the identical dot,
+    # multiplied pairwise — precomputing in a CTE cannot change the value
+    ecos = f"(({dot('e.embedding', 'c.cent')}) / (e.nrm * c.cnrm))"
+    parts = [
+        f"enorm AS (SELECT vec_id, embedding, sqrt({dot('embedding', 'embedding')}) AS nrm FROM embeddings)",
+        f"ca0 AS (SELECT vec_id AS cluster, embedding AS cent FROM embeddings WHERE vec_id < {k})",
+    ]
     prev = "ca0"
     for it in range(1, iters + 1):
+        parts.append(
+            f"cn{it} AS (SELECT cluster, cent, sqrt({dot('cent', 'cent')}) AS cnrm FROM {prev})"
+        )
         parts.append(
             f"""a{it} AS (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {ecos} DESC, c.cluster ASC) AS rn
-        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        FROM enorm e CROSS JOIN cn{it} c) WHERE rn = 1)"""
         )
         parts.append(
             f"""ca{it} AS (
-      SELECT p.cluster, coalesce(n.cent, p.cent) AS cent
+      SELECT p.cluster, coalesce(n.cent, list_transform(p.cent, x -> round(x::DOUBLE, 6))) AS cent
       FROM {prev} p LEFT JOIN (
         SELECT cluster, list(m ORDER BY dim) AS cent FROM (
           SELECT cluster, dim, round(sum(v::DOUBLE) / count(*), 6) AS m FROM (
@@ -986,12 +1010,12 @@ def _ivf_trained_oracle(iters: int = 2, k: int = _IVF_K, qid: int = 0, topk: int
         GROUP BY cluster) n ON p.cluster = n.cluster)"""
         )
         prev = f"ca{it}"
-    qcos = cos("q.embedding", "c.cent")
-    final_cos = cos("e.embedding", "q.embedding")
+    parts.append(f"cnf AS (SELECT cluster, cent, sqrt({dot('cent', 'cent')}) AS cnrm FROM {prev})")
+    final_cos = f"(({dot('e.embedding', 'q.embedding')}) / (e.nrm * q.nrm))"
     parts.append(
         f"""probes AS (
-      SELECT c.cluster FROM {prev} c JOIN embeddings q ON q.vec_id = {qid}
-      ORDER BY {qcos} DESC, c.cluster ASC LIMIT {nprobe})"""
+      SELECT c.cluster FROM cnf c JOIN enorm q ON q.vec_id = {qid}
+      ORDER BY (({dot('q.embedding', 'c.cent')}) / (q.nrm * c.cnrm)) DESC, c.cluster ASC LIMIT {nprobe})"""
     )
     parts.append(
         f"""afinal AS (
@@ -999,13 +1023,13 @@ def _ivf_trained_oracle(iters: int = 2, k: int = _IVF_K, qid: int = 0, topk: int
         SELECT e.vec_id, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {ecos} DESC, c.cluster ASC) AS rn
-        FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        FROM enorm e CROSS JOIN cnf c) WHERE rn = 1)"""
     )
     return f"""
     WITH {', '.join(parts)}
     SELECT e.vec_id, round({final_cos}, 6) AS cos
-    FROM afinal a JOIN embeddings e ON e.vec_id = a.vec_id
-    JOIN embeddings q ON q.vec_id = {qid}
+    FROM afinal a JOIN enorm e ON e.vec_id = a.vec_id
+    JOIN enorm q ON q.vec_id = {qid}
     WHERE a.cluster IN (SELECT cluster FROM probes) AND e.vec_id != {qid}
     ORDER BY ({final_cos}) DESC, e.vec_id ASC
     LIMIT {topk}

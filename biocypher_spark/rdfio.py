@@ -56,6 +56,25 @@ class ZeroHierarchyEdgesError(ValueError):
 # Turtle
 # ---------------------------------------------------------------------------
 
+_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+_STRING_ESCAPE = re.compile(r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})|\\(.)")
+
+
+def _decode_string_escapes(body: str) -> str:
+    """Turtle ECHAR (\\t \\b \\n \\r \\f \\" \\' \\\\) and UCHAR
+    (\\uXXXX / \\UXXXXXXXX) decoding (Turtle spec §6.4)."""
+
+    def repl(m: re.Match) -> str:
+        if m.group(1) is not None:
+            return chr(int(m.group(1), 16))
+        if m.group(2) is not None:
+            return chr(int(m.group(2), 16))
+        c = m.group(3)
+        return _ECHAR.get(c, c)
+
+    return _STRING_ESCAPE.sub(repl, body)
+
+
 _TURTLE_TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
@@ -157,7 +176,7 @@ class TurtleParser:
             return self._resolve_iri(val)
         if kind in ("string", "string3"):
             body = val[3:-3] if kind == "string3" else val[1:-1]
-            lit = Literal(re.sub(r"\\(.)", r"\1", body))
+            lit = Literal(_decode_string_escapes(body))
             # optional ^^datatype or @lang
             k, _ = self._peek()
             if k == "dtype":
@@ -382,6 +401,16 @@ class RdfXmlParser:
 # ---------------------------------------------------------------------------
 # Front door
 # ---------------------------------------------------------------------------
+
+
+def looks_like_rdf_text(head: str) -> bool:
+    """Content sniff shared with ``Ontology._sniff_rdf``: does this text
+    begin like RDF/XML or Turtle?"""
+    stripped = head.lstrip()
+    return (
+        stripped.startswith(("<?xml", "<!DOCTYPE", "<rdf:RDF", "<RDF", "@prefix", "@base"))
+        or "@prefix" in head
+    )
 
 
 def sniff_format(path: str, text: str) -> str:

@@ -42,15 +42,18 @@ def _tokens_or_sentinel(col: Column) -> Column:
     return F.when(F.size(toks) > 0, toks).otherwise(F.array(F.lit(None).cast("string")))
 
 
+def _subword_count(text: Column) -> Column:
+    # BPE-ish proxy: alphanumeric runs + punctuation marks counted separately
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword counting."""
     toks = tokens(F.col(text_col))
-    # BPE-ish proxy: alphanumeric runs + punctuation marks counted separately
-    subword = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        subword.alias("n_subwords"),
+        _subword_count(F.col(text_col)).alias("n_subwords"),
         F.length(text_col).alias("n_chars_check"),
     )
 
@@ -491,10 +494,8 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: argmax marker count, alphabetical tie-break,
-    'und' (undetermined) when no marker hits."""
-    toks = tokens(F.col(text_col))
+def _lang_pred(toks: Column) -> Column:
+    """Argmax marker count, alphabetical tie-break, 'und' when no hit."""
 
     def in_set(values: list[str]):
         return lambda t: t.isin(*values)
@@ -506,21 +507,34 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit("und")
     for lang in sorted(_LANG_MARKERS, reverse=True):
         pred = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
-    return df.select("doc_id", pred.alias("lang_pred"))
+    return pred
+
+
+def _quality_exprs(toks: Column, text: Column) -> tuple[Column, Column]:
+    """(stop_ratio, score), unrounded."""
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n
+    punct = F.size(F.regexp_extract_all(text, F.lit(_PUNCT), F.lit(0)))
+    punct_ratio = punct / F.length(text)
+    score = F.least(F.lit(1.0), n / F.lit(100.0)) * (1 - punct_ratio) * (1 - stop_ratio / 2)
+    return stop_ratio, score
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax marker count, alphabetical tie-break,
+    'und' (undetermined) when no marker hits."""
+    toks = tokens(F.col(text_col))
+    return df.select("doc_id", _lang_pred(toks).alias("lang_pred"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: token count, stopword ratio, punctuation
     density -> score in [0, 1]."""
     toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n
-    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT), F.lit(0)))
-    punct_ratio = punct / F.length(text_col)
-    score = F.least(F.lit(1.0), n / F.lit(100.0)) * (1 - punct_ratio) * (1 - stop_ratio / 2)
+    stop_ratio, score = _quality_exprs(toks, F.col(text_col))
     return df.select(
         "doc_id",
-        n.alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(score, 6).alias("score"),
     )
@@ -529,6 +543,28 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 64-bit prefix of md5 (content-addressed id)."""
     return df.select("doc_id", F.substring(F.md5(text_col), 1, 16).alias("fp"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-PASS per-document profile: token/subword/char counts, marker
+    language ID, quality signals, and content fingerprint — all row-local
+    column expressions in a single select over one scan. Composing the four
+    single-purpose operators would cost three doc_id shuffle joins for
+    columns that never leave their row; at 100 TB those joins move the
+    whole profile table three times for nothing."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    stop_ratio, score = _quality_exprs(toks, text)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _subword_count(text).alias("n_subwords"),
+        F.length(text_col).alias("n_chars_check"),
+        _lang_pred(toks).alias("lang_pred"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("score"),
+        F.substring(F.md5(text_col), 1, 16).alias("fp"),
+    )
 
 
 _WINNOW_BASE = 31

@@ -329,3 +329,29 @@ def test_graft_file_loaded_tail():
     head.graft(tail, head_join_node="sequence variant", tail_join_node="sequence variant")
     anc = head.get_ancestors("lethal variant")
     assert "sequence variant" in anc and "entity" in anc
+
+
+def test_turtle_string_escape_decoding(tmp_path):
+    # \n / \t / \uXXXX in literals must decode per Turtle §6.4 — the naive
+    # backslash-strip turned "Line\nBreak" into "LinenBreak", mangling any
+    # label containing an escape
+    p = tmp_path / "esc.ttl"
+    p.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        'ex:root a owl:Class ; rdfs:label "root_node" .\n'
+        'ex:child a owl:Class ; rdfs:subClassOf ex:root ; rdfs:label "tab\\there \\u0041" .\n'
+    )
+    onto = Ontology(hierarchy_file=str(p), root="root_node")
+    assert "tab\there a" in onto.nodes()
+
+
+def test_unknown_rdf_format_raises_clear_error(tmp_path):
+    # an unsupported file_format must hit parse_rdf_file's explicit format
+    # error, not fall through to the YAML parent-map loader (which dies with
+    # an opaque yaml.ScannerError on Turtle content)
+    p = tmp_path / "x.ttl"
+    p.write_text("@prefix ex: <http://example.org/> .\nex:a ex:b ex:c .\n")
+    with pytest.raises(ValueError, match="Could not determine format"):
+        Ontology(hierarchy_file=str(p), file_format="n3")

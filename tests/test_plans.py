@@ -209,3 +209,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_text_profile_single_pass(spark):
+    # the merged profile must stay one scan + row-local projections: zero
+    # Exchange (the pre-merge shape joined four per-doc frames on doc_id —
+    # three shuffles for columns that never leave their row)
+    from biocypher_spark.textops import text_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(text_profile(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
