@@ -146,6 +146,120 @@ def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column |
     ).filter(F.size("_hs") > 0)
 
 
+def _banded_sigs(
+    df: DataFrame,
+    text_col: str,
+    bands: int,
+    rows_per_band: int,
+    elements: Column | None,
+    carry_size: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature + band assignment of the banded-minhash family:
+    returns (sigs, assigned) where ``sigs`` is the localCheckpointed
+    (doc_id[, _n], sig0..sigN-1) table and ``assigned`` the narrow
+    (doc_id[, _n], band, bkey) band-explosion over it.
+
+    The element array, then the distinct per-element 32-bit hash set, are
+    materialized as SEPARATE projections: embedding either expression into
+    each of the b*r signature expressions would recompute it per seed
+    (CollapseProject keeps multi-consumer non-cheap producer projections
+    apart). Minhash signatures over the distinct hash set are identical
+    to signatures over the raw multiset (min ignores duplicates).
+
+    Empty element arrays would all share the degenerate all-NULL signature
+    (band key "") and self-join quadratically — 1M sub-n-char docs must not
+    form one 10^12-row bucket. An empty set has no meaningful Jaccard
+    similarity anyway, so such docs are excluded from candidacy (the
+    oracle applies the same predicate).
+
+    Band assignment is ONE explode over the materialized sig table (the
+    signatures are computed exactly once), NARROW: downstream join output
+    is the ~100x-larger pre-filter collision set, so each carried byte
+    multiplies.
+    """
+    seeds = bands * rows_per_band
+    hashed = hashed_element_set(df, text_col=text_col, elements=elements)
+
+    def affine(a: int, b: int):
+        return lambda h: (h * a + b) % _MINHASH_PRIME
+
+    size_carry = [F.size("_hs").alias("_n")] if carry_size else []
+    sigs = hashed.select(
+        "doc_id",
+        *size_carry,
+        *[
+            F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
+            for i, (a, b) in enumerate(minhash_affine_params(seeds))
+        ],
+    ).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"sig{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    carry = ["_n"] if carry_size else []
+    assigned = sigs.select(
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    return sigs, assigned
+
+
+def minhash_band_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+    elements: Column | None = None,
+) -> DataFrame:
+    """DUP-DENSE-safe near-dup candidate edges: per band bucket, connect
+    every member to the bucket's MIN doc_id (a star) instead of emitting
+    all pairs. A bucket of k mutual near-dups yields k-1 edges, not
+    k(k-1)/2 — on corpora where duplicate clusters are large (crawl snap-
+    shots, templated boilerplate) the all-pairs form is quadratic in
+    cluster size and is THE scale wall, while stars stay O(n x bands).
+
+    Trade-off vs :func:`minhash_band_candidates` (documented, standard
+    LSH-dedup practice): after exact verification of each edge, two docs
+    merge only through verified hub paths, so a pair whose similarity is
+    above threshold but whose bucket hub verifies below it can be missed —
+    connectivity is a lower bound on the all-pairs clustering. Inside a
+    true duplicate cluster every member verifies against the hub, so dedup
+    recall on actual dup clusters is unaffected.
+    """
+    from pyspark.sql import Window
+
+    _, assigned = _banded_sigs(df, text_col, bands, rows_per_band, elements, carry_size=False)
+    hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
+    return (
+        assigned.select(hub.alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_star_near_dup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    elements: Column | None = None,
+) -> DataFrame:
+    """Exactly-verified star edges (doc_a, doc_b, jac >= threshold): the
+    scale path for near-dup CLUSTERING on dup-dense corpora. Same
+    verification as :func:`minhash_banded_pairs`, linear edge count."""
+    cand = minhash_band_star_edges(df, text_col, bands, rows_per_band, elements)
+    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col, elements=elements)
+
+
 def minhash_band_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -191,53 +305,10 @@ def minhash_band_candidates(
       zip_with formulation runs interpreted HOF lambdas per pair.
     """
     seeds = bands * rows_per_band
-    # materialize the element array, then the distinct per-element 32-bit
-    # hash set, as SEPARATE projections: embedding either expression into
-    # each of the b*r signature expressions would recompute it per seed
-    # (CollapseProject keeps multi-consumer non-cheap producer projections
-    # apart). Minhash signatures over the distinct hash set are identical
-    # to signatures over the raw multiset (min ignores duplicates).
-    #
-    # Empty element arrays would all share the degenerate all-NULL signature
-    # (band key "") and self-join quadratically — 1M sub-n-char docs must not
-    # form one 10^12-row bucket. An empty set has no meaningful Jaccard
-    # similarity anyway, so such docs are excluded from candidacy (the
-    # oracle applies the same predicate).
-    hashed = hashed_element_set(df, text_col=text_col, elements=elements)
-
-    def affine(a: int, b: int):
-        return lambda h: (h * a + b) % _MINHASH_PRIME
-
-    size_carry = [F.size("_hs").alias("_n")] if size_ratio_min is not None else []
-    sigs = hashed.select(
-        "doc_id",
-        *size_carry,
-        *[
-            F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
-            for i, (a, b) in enumerate(minhash_affine_params(seeds))
-        ],
-    ).localCheckpoint()
-    # band assignment as ONE explode per side over the materialized sig
-    # table (the signatures are computed exactly once), NARROW: the join
-    # output is the 100x-larger pre-filter pair set, so each carried byte
-    # multiplies
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"sig{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
+    sigs, assigned = _banded_sigs(
+        df, text_col, bands, rows_per_band, elements, carry_size=size_ratio_min is not None
+    )
     carry = ["_n"] if size_ratio_min is not None else []
-    assigned = sigs.select(
-        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"), *[F.col("_n").alias("_na") for _ in carry])
     c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"), *[F.col("_n").alias("_nb") for _ in carry])
     pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
@@ -901,3 +972,124 @@ def stratified_sample(
     cut = F.element_at(F.create_map(*pairs), F.col(strata_col))
     h = F.pmod(element_hash32(F.col(key_col).cast("string")), F.lit(1_000_000))
     return df.filter(cut.isNotNull() & (h < cut))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus hygiene (the composed training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    near_threshold: float | None = 0.9,
+    probes: "DataFrame | list | None" = None,
+    quality_min: float | None = None,
+    near_mode: str = "pairs",
+) -> DataFrame:
+    """The composed training-data hygiene pipeline over one corpus:
+
+      1. exact dedup            (keep min doc_id per md5(text))
+      2. near-dup suppression   (banded-minhash edges -> connected
+                                 components; keep each cluster's min doc_id;
+                                 ``near_mode`` picks all-pairs or star edges)
+      3. decontamination        (drop docs containing any probe: inline
+                                 ``contains`` scan for a probe list, exact
+                                 shingle semi-join for a probe DataFrame)
+      4. quality floor          (drop docs with profile score < quality_min)
+
+    Returns an AUDIT frame, one row per input doc: ``(doc_id, keep,
+    drop_reason)`` with ``drop_reason`` in {exact_dup, near_dup,
+    contaminated, low_quality, NULL}. Reasons are first-match in pipeline
+    order (a doc that is both an exact dup and contaminated reports
+    exact_dup); downstream stages only ever see prior survivors, exactly
+    like a staged production pipeline. Join ``keep`` back to the corpus (or
+    anti-join the drops) to materialize the cleaned dataset; aggregate with
+    :func:`hygiene_report` for the per-stage metrics table.
+
+    Scale shape: every stage reuses the scale-safe single-purpose operator
+    (md5-key groupBy, banded LSH + pointer-jumping CC, shingle semi-join,
+    one-pass profile); stage drop-sets are narrow (doc_id, reason) frames,
+    localCheckpointed so each stage's plan anti-joins a materialized id set
+    instead of re-deriving every earlier stage's lineage, and document
+    bodies never shuffle anywhere (each stage scans them linearly at most
+    once). Passing ``near_threshold=None`` / ``probes=None`` /
+    ``quality_min=None`` skips that stage.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select("doc_id")
+    drops: list[DataFrame] = []
+
+    def survivors() -> DataFrame:
+        out = df
+        for d in drops:
+            out = out.join(d.select("doc_id"), "doc_id", "left_anti")
+        return out
+
+    # 1. exact: narrow (doc_id, md5) projection; the window shuffles 40-byte
+    # rows, never bodies
+    h = df.select("doc_id", F.md5(text_col).alias("_h"))
+    rep = F.min("doc_id").over(Window.partitionBy("_h"))
+    exact_drops = (
+        h.select("doc_id", (F.col("doc_id") != rep).alias("_d"))
+        .filter("_d")
+        .select("doc_id", F.lit("exact_dup").alias("drop_reason"))
+        .localCheckpoint()
+    )
+    drops.append(exact_drops)
+
+    if near_threshold is not None:
+        from .operators.components import connected_components
+
+        # near_mode="star": linear edge count on dup-dense corpora (see
+        # minhash_band_star_edges) — the right default at crawl scale;
+        # "pairs" is the exact all-pairs clustering for loose corpora
+        edge_fn = minhash_star_near_dup_edges if near_mode == "star" else minhash_banded_pairs
+        pairs = edge_fn(survivors(), text_col=text_col, threshold=near_threshold)
+        comp = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+        near_drops = (
+            comp.filter(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias("doc_id"), F.lit("near_dup").alias("drop_reason"))
+            .localCheckpoint()
+        )
+        drops.append(near_drops)
+
+    if probes is not None:
+        surv = survivors()
+        flagged = (
+            contamination_join(surv, probes, text_col=text_col)
+            if isinstance(probes, DataFrame)
+            else contamination_check(surv, probes, text_col=text_col)
+        )
+        cont_drops = (
+            flagged.filter("contaminated")
+            .select("doc_id", F.lit("contaminated").alias("drop_reason"))
+            .localCheckpoint()
+        )
+        drops.append(cont_drops)
+
+    if quality_min is not None:
+        qual_drops = (
+            text_profile(survivors(), text_col=text_col)
+            .filter(F.col("score") < quality_min)
+            .select("doc_id", F.lit("low_quality").alias("drop_reason"))
+            .localCheckpoint()
+        )
+        drops.append(qual_drops)
+
+    all_drops = drops[0]
+    for d in drops[1:]:
+        all_drops = all_drops.unionByName(d)  # disjoint by construction
+    return ids.join(all_drops, "doc_id", "left").select(
+        "doc_id", F.col("drop_reason").isNull().alias("keep"), "drop_reason"
+    )
+
+
+def hygiene_report(flags: DataFrame) -> DataFrame:
+    """Per-stage metrics table over :func:`clean_corpus` output:
+    (outcome, n) with outcome in {kept, exact_dup, near_dup, contaminated,
+    low_quality}. Map-side-combinable k-row aggregate."""
+    return flags.groupBy(
+        F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -479,3 +479,145 @@ def test_cross_corpus_dedup(spark):
         for r in near_dedup_against(crawl, reference, threshold=0.8).collect()
     }
     assert near == {1: True, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# clean_corpus: the composed hygiene pipeline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hygiene_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps running onward today"),
+        (2, "the quick brown fox jumps over the lazy dog and keeps running onward today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and keeps running onward now"),  # near dup of 1
+        (4, "a completely distinct clean document about spark shuffle partitioning strategies"),
+        (5, "this document quotes the secret benchmark answer verbatim for testing purposes"),  # contaminated
+        (6, "!!! ??? ,,, ;;; ..."),  # punctuation-only -> low quality
+        (7, "another clean and unique document describing broadcast joins in catalyst"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_clean_corpus_reasons_and_keeps(hygiene_docs):
+    from biocypher_spark.textops import clean_corpus
+
+    flags = clean_corpus(
+        hygiene_docs,
+        near_threshold=0.8,
+        probes=["secret benchmark answer"],
+        quality_min=0.05,
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in flags.collect()}
+    assert got == {
+        1: (True, None),
+        2: (False, "exact_dup"),
+        3: (False, "near_dup"),
+        4: (True, None),
+        5: (False, "contaminated"),
+        6: (False, "low_quality"),
+        7: (True, None),
+    }
+    # one audit row per input doc, always
+    assert flags.count() == hygiene_docs.count()
+
+
+def test_clean_corpus_reason_priority_is_pipeline_order(spark):
+    # a doc that is an exact dup AND contaminated reports exact_dup: later
+    # stages only see prior survivors
+    from biocypher_spark.textops import clean_corpus
+
+    rows = [
+        (1, "the secret benchmark answer appears here"),
+        (2, "the secret benchmark answer appears here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["drop_reason"] for r in clean_corpus(
+        df, near_threshold=None, probes=["secret benchmark answer"], quality_min=None
+    ).collect()}
+    assert got == {1: "contaminated", 2: "exact_dup"}
+
+
+def test_clean_corpus_matches_individual_operators(hygiene_docs):
+    # composition equivalence: the keep set equals what the single-purpose
+    # operators produce when chained by hand
+    from biocypher_spark.textops import (
+        clean_corpus,
+        contamination_check,
+        hygiene_report,
+        minhash_banded_pairs,
+        text_profile,
+    )
+
+    kept = {r["doc_id"] for r in clean_corpus(
+        hygiene_docs, near_threshold=0.8, probes=["secret benchmark answer"], quality_min=0.05
+    ).filter("keep").collect()}
+
+    rows = hygiene_docs.collect()
+    by_text = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_text.setdefault(r["text"], r["doc_id"])
+    exact_reps = set(by_text.values())
+    surv1 = hygiene_docs.filter(F.col("doc_id").isin(*exact_reps))
+    pairs = minhash_banded_pairs(surv1, threshold=0.8).collect()
+    near_drops = {max(p["doc_a"], p["doc_b"]) for p in pairs}
+    surv2 = surv1.filter(~F.col("doc_id").isin(*near_drops) if near_drops else F.lit(True))
+    cont = {r["doc_id"] for r in contamination_check(surv2, ["secret benchmark answer"]).filter("contaminated").collect()}
+    surv3 = surv2.filter(~F.col("doc_id").isin(*cont) if cont else F.lit(True))
+    lowq = {r["doc_id"] for r in text_profile(surv3).filter(F.col("score") < 0.05).collect()}
+    expected = {r["doc_id"] for r in surv3.collect()} - lowq
+    assert kept == expected
+
+    report = {r["outcome"]: r["n"] for r in hygiene_report(clean_corpus(
+        hygiene_docs, near_threshold=0.8, probes=["secret benchmark answer"], quality_min=0.05
+    )).collect()}
+    assert report == {"kept": 3, "exact_dup": 1, "near_dup": 1, "contaminated": 1, "low_quality": 1}
+
+
+def test_clean_corpus_stages_optional(hygiene_docs):
+    from biocypher_spark.textops import clean_corpus
+
+    flags = clean_corpus(hygiene_docs, near_threshold=None, probes=None, quality_min=None)
+    got = {r["doc_id"]: r["drop_reason"] for r in flags.filter("NOT keep").collect()}
+    assert got == {2: "exact_dup"}
+
+
+def test_star_edges_linear_on_dup_clusters(spark):
+    # a cluster of k mutual dups: all-pairs emits k(k-1)/2, star emits k-1
+    from biocypher_spark.textops import minhash_band_candidates, minhash_band_star_edges
+
+    k = 10
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(k)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_band_candidates(df).count() == k * (k - 1) // 2
+    star = minhash_band_star_edges(df).collect()
+    assert len(star) == k - 1
+    assert all(r["doc_a"] == 0 for r in star)  # hub = bucket min
+
+
+def test_star_clustering_matches_pairs_on_near_dup_cluster(spark, docs):
+    # on the shared fixture the verified star clustering merges exactly the
+    # same components as the all-pairs clustering (dup clusters all verify
+    # against their hub)
+    from biocypher_spark.operators.components import connected_components
+    from biocypher_spark.textops import minhash_banded_pairs, minhash_star_near_dup_edges
+
+    def clusters(pairs_df):
+        comp = connected_components(pairs_df.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+        return {(r["node"], r["comp"]) for r in comp.collect()}
+
+    assert clusters(minhash_star_near_dup_edges(docs, threshold=0.5)) == clusters(
+        minhash_banded_pairs(docs, threshold=0.5)
+    )
+
+
+def test_clean_corpus_star_mode(hygiene_docs):
+    from biocypher_spark.textops import clean_corpus
+
+    got = {r["doc_id"]: r["drop_reason"] for r in clean_corpus(
+        hygiene_docs, near_threshold=0.8, probes=["secret benchmark answer"],
+        quality_min=0.05, near_mode="star",
+    ).collect()}
+    assert got == {1: None, 2: "exact_dup", 3: "near_dup", 4: None,
+                   5: "contaminated", 6: "low_quality", 7: None}
