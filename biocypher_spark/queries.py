@@ -777,7 +777,7 @@ def _quality_sql() -> str:
     )
     SELECT doc_id, n AS n_tokens,
            round(stops / n, 6) AS stop_ratio,
-           round(least(1.0, n / 100.0) * (1 - punct / length(text)) * (1 - (stops / n) / 2), 6) AS score
+           round(least(1.0, n / 100.0) * (1 - punct / greatest(length(text), 1)) * (1 - (stops / n) / 2), 6) AS score
     FROM t
     """
 

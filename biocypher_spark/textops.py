@@ -146,72 +146,6 @@ def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column |
     ).filter(F.size("_hs") > 0)
 
 
-def _banded_sigs(
-    df: DataFrame,
-    text_col: str,
-    bands: int,
-    rows_per_band: int,
-    elements: Column | None,
-    carry_size: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared signature + band assignment of the banded-minhash family:
-    returns (sigs, assigned) where ``sigs`` is the localCheckpointed
-    (doc_id[, _n], sig0..sigN-1) table and ``assigned`` the narrow
-    (doc_id[, _n], band, bkey) band-explosion over it.
-
-    The element array, then the distinct per-element 32-bit hash set, are
-    materialized as SEPARATE projections: embedding either expression into
-    each of the b*r signature expressions would recompute it per seed
-    (CollapseProject keeps multi-consumer non-cheap producer projections
-    apart). Minhash signatures over the distinct hash set are identical
-    to signatures over the raw multiset (min ignores duplicates).
-
-    Empty element arrays would all share the degenerate all-NULL signature
-    (band key "") and self-join quadratically — 1M sub-n-char docs must not
-    form one 10^12-row bucket. An empty set has no meaningful Jaccard
-    similarity anyway, so such docs are excluded from candidacy (the
-    oracle applies the same predicate).
-
-    Band assignment is ONE explode over the materialized sig table (the
-    signatures are computed exactly once), NARROW: downstream join output
-    is the ~100x-larger pre-filter collision set, so each carried byte
-    multiplies.
-    """
-    seeds = bands * rows_per_band
-    hashed = hashed_element_set(df, text_col=text_col, elements=elements)
-
-    def affine(a: int, b: int):
-        return lambda h: (h * a + b) % _MINHASH_PRIME
-
-    size_carry = [F.size("_hs").alias("_n")] if carry_size else []
-    sigs = hashed.select(
-        "doc_id",
-        *size_carry,
-        *[
-            F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
-            for i, (a, b) in enumerate(minhash_affine_params(seeds))
-        ],
-    ).localCheckpoint()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"sig{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    carry = ["_n"] if carry_size else []
-    assigned = sigs.select(
-        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    return sigs, assigned
-
-
 def minhash_band_star_edges(
     df: DataFrame,
     text_col: str = "text",
@@ -236,7 +170,7 @@ def minhash_band_star_edges(
     """
     from pyspark.sql import Window
 
-    _, assigned = _banded_sigs(df, text_col, bands, rows_per_band, elements, carry_size=False)
+    _, assigned = _sig_band_table(df, text_col, bands, rows_per_band, elements)
     hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
     return (
         assigned.select(hub.alias("doc_a"), F.col("doc_id").alias("doc_b"))
@@ -255,9 +189,19 @@ def minhash_star_near_dup_edges(
 ) -> DataFrame:
     """Exactly-verified star edges (doc_a, doc_b, jac >= threshold): the
     scale path for near-dup CLUSTERING on dup-dense corpora. Same
-    verification as :func:`minhash_banded_pairs`, linear edge count."""
-    cand = minhash_band_star_edges(df, text_col, bands, rows_per_band, elements)
-    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col, elements=elements)
+    verification as :func:`minhash_banded_pairs`, linear edge count; the
+    verify reads the checkpointed sig table's hashed sets (one tokenize
+    pass per corpus)."""
+    sigs, assigned = _sig_band_table(df, text_col, bands, rows_per_band, elements)
+    from pyspark.sql import Window
+
+    hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
+    cand = (
+        assigned.select(hub.alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    return _verify_hashed_jaccard(cand, df, threshold, hashed=sigs.select("doc_id", "_hs"))
 
 
 def minhash_band_candidates(
@@ -304,10 +248,20 @@ def minhash_band_candidates(
       compiles to a whole-stage-codegen sum of equality flags; an array +
       zip_with formulation runs interpreted HOF lambdas per pair.
     """
-    seeds = bands * rows_per_band
-    sigs, assigned = _banded_sigs(
-        df, text_col, bands, rows_per_band, elements, carry_size=size_ratio_min is not None
-    )
+    sigs, assigned = _sig_band_table(df, text_col, bands, rows_per_band, elements)
+    return _band_candidates(sigs, assigned, bands * rows_per_band, est_min_matches, size_ratio_min)
+
+
+def _band_candidates(
+    sigs: DataFrame,
+    assigned: DataFrame,
+    seeds: int,
+    est_min_matches: int,
+    size_ratio_min: float | None,
+) -> DataFrame:
+    """Candidate-pair core over a prebuilt (sigs, assigned) — see
+    :func:`minhash_band_candidates` for the algorithm and join-shape
+    rationale."""
     carry = ["_n"] if size_ratio_min is not None else []
     a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"), *[F.col("_n").alias("_na") for _ in carry])
     c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"), *[F.col("_n").alias("_nb") for _ in carry])
@@ -355,10 +309,9 @@ def minhash_banded_pairs(
     ``jac`` is the exact Jaccard of the 32-bit-hashed token sets (see
     :func:`hashed_element_set` for why)."""
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
-    cand = minhash_band_candidates(
-        df, text_col, bands, rows_per_band, est_min_matches=emm, size_ratio_min=threshold
-    )
-    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col)
+    sigs, assigned = _sig_band_table(df, text_col, bands, rows_per_band)
+    cand = _band_candidates(sigs, assigned, bands * rows_per_band, emm, threshold)
+    return _verify_hashed_jaccard(cand, df, threshold, hashed=sigs.select("doc_id", "_hs"))
 
 
 def _verify_hashed_jaccard(
@@ -367,11 +320,14 @@ def _verify_hashed_jaccard(
     threshold: float,
     text_col: str = "text",
     elements: Column | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard re-score of candidate pairs over the hashed element
     sets; |A ∪ B| = |A| + |B| - |A ∩ B| for sets, so one hash-set build per
-    pair instead of two (array_union was half the verify cost)."""
-    base = hashed_element_set(df, text_col=text_col, elements=elements)
+    pair instead of two (array_union was half the verify cost). Pass
+    ``hashed`` (a (doc_id, _hs) frame, e.g. the checkpointed sig table's
+    columns) to verify WITHOUT re-tokenizing the corpus."""
+    base = hashed if hashed is not None else hashed_element_set(df, text_col=text_col, elements=elements)
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_sa"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_sb"))
     inner = (
@@ -447,11 +403,9 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(F.col(text_col), n)
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
-    cand = minhash_band_candidates(
-        df, text_col, bands, rows_per_band, elements=sh, est_min_matches=emm,
-        size_ratio_min=threshold,
-    )
-    return _verify_hashed_jaccard(cand, df, threshold, text_col=text_col, elements=sh)
+    sigs, assigned = _sig_band_table(df, text_col, bands, rows_per_band, elements=sh)
+    cand = _band_candidates(sigs, assigned, bands * rows_per_band, emm, threshold)
+    return _verify_hashed_jaccard(cand, df, threshold, hashed=sigs.select("doc_id", "_hs"))
 
 
 _HEX = "0123456789abcdef"
@@ -582,11 +536,15 @@ def _lang_pred(toks: Column) -> Column:
 
 
 def _quality_exprs(toks: Column, text: Column) -> tuple[Column, Column]:
-    """(stop_ratio, score), unrounded."""
+    """(stop_ratio, score), unrounded. ``greatest(length, 1)`` guards the
+    empty-string document: under Spark 4's default ANSI mode a bare
+    ``punct / length(text)`` throws DIVIDE_BY_ZERO (and DuckDB silently
+    yields NULL — divergent either way); with the guard both engines score
+    an empty doc 0.01 (n=1 from the [''] split, zero punct/stops)."""
     n = F.size(toks)
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n
     punct = F.size(F.regexp_extract_all(text, F.lit(_PUNCT), F.lit(0)))
-    punct_ratio = punct / F.length(text)
+    punct_ratio = punct / F.greatest(F.length(text), F.lit(1))
     score = F.least(F.lit(1.0), n / F.lit(100.0)) * (1 - punct_ratio) * (1 - stop_ratio / 2)
     return stop_ratio, score
 
@@ -826,11 +784,26 @@ def exact_dedup_against(df: DataFrame, reference: DataFrame, text_col: str = "te
 def _sig_band_table(
     df: DataFrame, text_col: str, bands: int, rows_per_band: int, elements: Column | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """(sigs, band_assignment) for one corpus: the per-doc signature table
-    (doc_id, _n, _hs, sig0..sigN-1; localCheckpointed — tokenize+hash runs
-    exactly once per corpus, and the hashed element set ``_hs`` rides along
-    for the verify join so callers never rescan the raw text) and its
-    exploded (doc_id, _n, band, bkey) band table."""
+    """(sigs, band_assignment) for one corpus — the SHARED signature stage
+    of the whole banded-minhash family (pairs, star edges, cross-corpus
+    dedup): the per-doc signature table (doc_id, _n, _hs, sig0..sigN-1;
+    localCheckpointed — tokenize+hash runs exactly once per corpus, and the
+    hashed element set ``_hs`` rides along for the verify join so callers
+    never rescan the raw text) and its exploded (doc_id, _n, band, bkey)
+    band table.
+
+    The element array, then the distinct per-element 32-bit hash set, are
+    materialized as SEPARATE projections: embedding either expression into
+    each of the b*r signature expressions would recompute it per seed
+    (CollapseProject keeps multi-consumer non-cheap producer projections
+    apart). Minhash signatures over the distinct hash set are identical to
+    signatures over the raw multiset (min ignores duplicates). Empty
+    element sets are excluded (hashed_element_set): they would all share
+    the degenerate all-NULL signature (band key "") and self-join
+    quadratically, and an empty set has no meaningful Jaccard anyway. Band
+    assignment is ONE narrow explode over the materialized sig table —
+    downstream join output is the ~100x-larger pre-filter collision set,
+    so each carried byte multiplies."""
     seeds = bands * rows_per_band
     hashed = hashed_element_set(df, text_col=text_col, elements=elements)
 
@@ -1018,6 +991,8 @@ def clean_corpus(
     """
     from pyspark.sql import Window
 
+    if near_mode not in ("pairs", "star"):
+        raise ValueError(f"near_mode must be 'pairs' or 'star', got {near_mode!r}")
     ids = df.select("doc_id")
     drops: list[DataFrame] = []
 
@@ -1070,9 +1045,11 @@ def clean_corpus(
         drops.append(cont_drops)
 
     if quality_min is not None:
+        # NULL score = null text = no content: below any quality floor
+        # (a bare `<` comparison would silently keep such docs)
         qual_drops = (
             text_profile(survivors(), text_col=text_col)
-            .filter(F.col("score") < quality_min)
+            .filter((F.col("score") < quality_min) | F.col("score").isNull())
             .select("doc_id", F.lit("low_quality").alias("drop_reason"))
             .localCheckpoint()
         )

@@ -561,7 +561,14 @@ def test_clean_corpus_matches_individual_operators(hygiene_docs):
     exact_reps = set(by_text.values())
     surv1 = hygiene_docs.filter(F.col("doc_id").isin(*exact_reps))
     pairs = minhash_banded_pairs(surv1, threshold=0.8).collect()
-    near_drops = {max(p["doc_a"], p["doc_b"]) for p in pairs}
+    # true connected-components min-representative semantics ({max(pair)}
+    # only coincides with CC on triangle-closed clusters)
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(exact_reps)
+    g.add_edges_from((p["doc_a"], p["doc_b"]) for p in pairs)
+    near_drops = {n for c in nx.connected_components(g) for n in c if n != min(c)}
     surv2 = surv1.filter(~F.col("doc_id").isin(*near_drops) if near_drops else F.lit(True))
     cont = {r["doc_id"] for r in contamination_check(surv2, ["secret benchmark answer"]).filter("contaminated").collect()}
     surv3 = surv2.filter(~F.col("doc_id").isin(*cont) if cont else F.lit(True))
@@ -621,3 +628,28 @@ def test_clean_corpus_star_mode(hygiene_docs):
     ).collect()}
     assert got == {1: None, 2: "exact_dup", 3: "near_dup", 4: None,
                    5: "contaminated", 6: "low_quality", 7: None}
+
+
+def test_clean_corpus_empty_and_null_text(spark):
+    # empty-string docs must not abort the job (ANSI DIVIDE_BY_ZERO in the
+    # quality stage) and null-text docs must not bypass the quality floor
+    # via a NULL score
+    from biocypher_spark.textops import clean_corpus
+
+    rows = [(1, "a perfectly normal document with plenty of reasonable words here"),
+            (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in clean_corpus(
+        df, near_threshold=0.9, probes=None, quality_min=0.05
+    ).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "low_quality")  # scores 0.01 under the guard
+    assert got[3] == (False, "low_quality")  # NULL score -> below any floor
+
+
+def test_clean_corpus_rejects_unknown_near_mode(spark):
+    from biocypher_spark.textops import clean_corpus
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="near_mode"):
+        clean_corpus(df, near_mode="Star")
