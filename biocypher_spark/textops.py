@@ -989,8 +989,6 @@ def clean_corpus(
     once). Passing ``near_threshold=None`` / ``probes=None`` /
     ``quality_min=None`` skips that stage.
     """
-    from pyspark.sql import Window
-
     if near_mode not in ("pairs", "star"):
         raise ValueError(f"near_mode must be 'pairs' or 'star', got {near_mode!r}")
     ids = df.select("doc_id")
@@ -1002,13 +1000,17 @@ def clean_corpus(
             out = out.join(d.select("doc_id"), "doc_id", "left_anti")
         return out
 
-    # 1. exact: narrow (doc_id, md5) projection; the window shuffles 40-byte
-    # rows, never bodies
+    # 1. exact: narrow (doc_id, md5) projection; groupBy + join back rather
+    # than a min-over-window — the aggregate gets map-side combine and the
+    # join gets AQE skew splitting, so a crawl-scale giant dup cluster
+    # (100M copies of one boilerplate page = one md5 key) neither floods
+    # one reducer with raw rows nor pins one window task; 40-byte rows,
+    # never bodies
     h = df.select("doc_id", F.md5(text_col).alias("_h"))
-    rep = F.min("doc_id").over(Window.partitionBy("_h"))
+    reps = h.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
     exact_drops = (
-        h.select("doc_id", (F.col("doc_id") != rep).alias("_d"))
-        .filter("_d")
+        h.join(reps, "_h")
+        .filter(F.col("doc_id") != F.col("_rep"))
         .select("doc_id", F.lit("exact_dup").alias("drop_reason"))
         .localCheckpoint()
     )

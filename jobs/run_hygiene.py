@@ -1,0 +1,88 @@
+"""spark-submit entry point: documents table -> corpus-hygiene audit.
+
+Runs the composed training-data hygiene pipeline (textops.clean_corpus:
+exact dedup -> banded-minhash near-dup connected components ->
+decontamination -> quality floor) over a documents table and writes
+
+    {output}/flags/      per-doc (doc_id, keep, drop_reason) audit parquet
+    {output}/clean/      surviving documents (all input columns) parquet
+    {output}/report.json per-stage outcome counts + run config
+
+Usage:
+    spark-submit --py-files biocypher_spark.zip jobs/run_hygiene.py \
+        --input /path/to/documents (parquet dir with doc_id + text columns) \
+        --output /path/to/audit-out \
+        [--near-threshold 0.9] [--near-mode star] [--quality-min 0.05] \
+        [--probes /path/to/probes.parquet]  # column 'probe'; omit to skip
+
+Build the zip with:  python tools/make_pyfiles.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--near-threshold", type=float, default=0.9)
+    ap.add_argument("--near-mode", default="star", choices=["star", "pairs"])
+    ap.add_argument("--no-near", action="store_true", help="skip the near-dup stage")
+    ap.add_argument("--quality-min", type=float, default=None)
+    ap.add_argument("--probes", default=None, help="parquet with a 'probe' column")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("biocypher-spark-hygiene")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from biocypher_spark.textops import clean_corpus, hygiene_report
+
+    docs = spark.read.parquet(args.input)
+    probes = spark.read.parquet(args.probes) if args.probes else None
+    t0 = time.time()
+    flags = clean_corpus(
+        docs,
+        text_col=args.text_col,
+        near_threshold=None if args.no_near else args.near_threshold,
+        probes=probes,
+        quality_min=args.quality_min,
+        near_mode=args.near_mode,
+    )
+    flags.write.mode("overwrite").parquet(os.path.join(args.output, "flags"))
+    flags_back = spark.read.parquet(os.path.join(args.output, "flags"))
+    docs.join(flags_back.filter("keep").select("doc_id"), "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "clean"))
+    outcomes = {r["outcome"]: r["n"] for r in hygiene_report(flags_back).collect()}
+    stats = {
+        "outcomes": outcomes,
+        "docs": sum(outcomes.values()),
+        "kept": outcomes.get("kept", 0),
+        "sec": round(time.time() - t0, 2),
+        "config": {
+            "near_threshold": None if args.no_near else args.near_threshold,
+            "near_mode": args.near_mode,
+            "quality_min": args.quality_min,
+            "probes": args.probes,
+        },
+    }
+    with open(os.path.join(args.output, "report.json"), "w") as fh:
+        json.dump(stats, fh)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
