@@ -1077,10 +1077,18 @@ def _proj_sql(signs: list[int], col: str) -> str:
     ).replace("+ -", "- ")
 
 
+_ND_XC_MOD = 5  # cross-corpus split: reference = vec_id % 5 == 0, crawl = rest
+
+
 def _near_dup_oracle() -> str:
     """Banded multi-table LSH near-dup, recomputed end-to-end in SQL: per-table
     bucket from the same md5-derived hyperplanes, bucket-size cap, candidate
-    union across tables, exact 64-term cosine re-score."""
+    union across tables, exact 64-term cosine re-score. Tagged union of two
+    modes (both fit the driver's 50-query gate): 'within' = pairs inside one
+    corpus (similarity.embedding_near_dup), 'against' = best reference match
+    per new-crawl vector screened against a reference corpus
+    (similarity.embedding_dedup_against; cap on the reference side,
+    max-cos/min-ref_id argmax)."""
     bucket_cols = []
     for t in range(_ND_TABLES):
         parts = []
@@ -1102,23 +1110,72 @@ def _near_dup_oracle() -> str:
     cand AS (
       SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       FROM c x JOIN c y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    un AS (SELECT * FROM u WHERE vec_id % {_ND_XC_MOD} != 0),
+    ur AS (SELECT * FROM u WHERE vec_id % {_ND_XC_MOD} = 0),
+    okr AS (SELECT tbl, bucket FROM ur GROUP BY tbl, bucket HAVING count(*) <= {_ND_CAP}),
+    cr AS (SELECT ur.vec_id, ur.tbl, ur.bucket FROM ur JOIN okr USING (tbl, bucket)),
+    candx AS (
+      SELECT DISTINCT n.vec_id AS va, r.vec_id AS vb
+      FROM un n JOIN cr r ON n.tbl = r.tbl AND n.bucket = r.bucket
+    ),
+    verx AS (
+      SELECT va, vb, {cos} AS cos
+      FROM candx JOIN embeddings ea ON ea.vec_id = candx.va
+                 JOIN embeddings eb ON eb.vec_id = candx.vb
+      WHERE {cos} >= {_ND_THRESHOLD}
+    ),
+    bestx AS (
+      SELECT va, vb, cos FROM (
+        SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb ASC) AS rn
+        FROM verx
+      ) WHERE rn = 1
     )
-    SELECT va, vb, {cos} AS cos
+    SELECT 'within' AS mode, va, vb, {cos} AS cos
     FROM cand JOIN embeddings ea ON ea.vec_id = cand.va
               JOIN embeddings eb ON eb.vec_id = cand.vb
     WHERE {cos} >= {_ND_THRESHOLD}
+    UNION ALL
+    SELECT 'against' AS mode, va, vb, cos FROM bestx
     """
 
 
 @register("emb_near_dup", _near_dup_oracle())
 def emb_near_dup(spark, sf_dir):
-    return embedding_near_dup(
-        _t(spark, sf_dir, "embeddings", materialize=True),
+    """Embedding near-dup, both flavours in one tagged union: 'within'
+    (pairs inside the corpus, similarity.embedding_near_dup) and 'against'
+    (new-crawl vectors screened against a reference corpus derived from the
+    same table by vec_id % mod — similarity.embedding_dedup_against, best
+    reference match per flagged vector)."""
+    from .similarity import embedding_dedup_against
+
+    emb = _t(spark, sf_dir, "embeddings", materialize=True)
+    within = embedding_near_dup(
+        emb,
         threshold=_ND_THRESHOLD,
         num_tables=_ND_TABLES,
         planes_per_table=_ND_PLANES,
         max_bucket_size=_ND_CAP,
+    ).select(F.lit("within").alias("mode"), "va", "vb", "cos")
+    against = (
+        embedding_dedup_against(
+            emb.filter(F.col("vec_id") % _ND_XC_MOD != 0),
+            emb.filter(F.col("vec_id") % _ND_XC_MOD == 0),
+            threshold=_ND_THRESHOLD,
+            num_tables=_ND_TABLES,
+            planes_per_table=_ND_PLANES,
+            max_bucket_size=_ND_CAP,
+        )
+        .filter("dup_of_ref")
+        .select(
+            F.lit("against").alias("mode"),
+            F.col("vec_id").alias("va"),
+            F.col("ref_id").alias("vb"),
+            "cos",
+        )
     )
+    return within.unionByName(against)
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,28 @@ def ivf_topk(
     )
 
 
+def _multi_table_buckets(
+    embeddings: DataFrame, num_tables: int, planes_per_table: int, dims: int, vec_col: str
+) -> DataFrame:
+    """(vec_id, tbl, bucket) multi-table sign-LSH assignment — all
+    ``num_tables`` bucket ids in ONE projection over the corpus (a union of
+    per-table selects would scan the source T times), then one narrow
+    explode. Shared by :func:`embedding_near_dup` (self-join flavour) and
+    :func:`embedding_dedup_against` (cross-corpus flavour)."""
+    bucket_cols = [
+        _bucket_expr(hyperplane_signs_md5(t, planes_per_table, dims), vec_col).alias(f"_b{t}")
+        for t in range(num_tables)
+    ]
+    projected = embeddings.select("vec_id", *bucket_cols)
+    tbl_structs = [
+        F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
+        for t in range(num_tables)
+    ]
+    return projected.select("vec_id", F.explode(F.array(*tbl_structs)).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -292,25 +314,11 @@ def embedding_near_dup(
     Expected candidate volume per table ≈ N²/2^planes; with the cap it is
     ≤ N·max_bucket_size — linear in N, never quadratic.
     """
-    # all T bucket ids in ONE projection (a union of per-table selects would
-    # scan the source T times); the explode consumes the cheap per-table
-    # bucket columns, and the tiny (vec_id, tbl, bucket) table is
-    # materialized: it feeds the size histogram AND both sides of the
-    # candidate self-join.
-    bucket_cols = [
-        _bucket_expr(hyperplane_signs_md5(t, planes_per_table, dims), vec_col).alias(f"_b{t}")
-        for t in range(num_tables)
-    ]
-    projected = embeddings.select("vec_id", *bucket_cols)
-    tbl_structs = [
-        F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
-        for t in range(num_tables)
-    ]
-    assigned = (
-        projected.select("vec_id", F.explode(F.array(*tbl_structs)).alias("tb"))
-        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-        .localCheckpoint()
-    )
+    # the tiny (vec_id, tbl, bucket) table is materialized: it feeds the
+    # size histogram AND both sides of the candidate self-join.
+    assigned = _multi_table_buckets(
+        embeddings, num_tables, planes_per_table, dims, vec_col
+    ).localCheckpoint()
     # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
     ok_buckets = (
         assigned.groupBy("tbl", "bucket")
@@ -348,4 +356,72 @@ def embedding_near_dup(
         .join(eb, "vb")
         .select("va", "vb", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    max_bucket_size: int = 1000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-corpus EMBEDDING near-dedup: flag vectors of ``df`` (the new
+    crawl) whose cosine with ANY vector of ``reference`` (the existing
+    training set) is >= ``threshold`` — the semantic-dedup analogue of
+    :func:`textops.near_dedup_against`. Returns one row per ``df`` vector:
+    (vec_id, dup_of_ref, ref_id, cos) where ref_id/cos identify the best
+    reference match (max cosine, ties to the lowest ref_id; NULL when no
+    match reached the threshold).
+
+    Scale shape, asymmetric like the text variant: both corpora reduce to
+    narrow multi-table sign-LSH bucket tables (same md5-derived hyperplanes
+    on both sides, so colliding vectors land in the same (tbl, bucket)),
+    candidates come from a hash join between the two bucket tables — never
+    a self-join, never all-pairs. The per-(tbl, bucket) size cap is
+    computed on the REFERENCE side (degenerate regions where LSH has no
+    selectivity), bounding candidates at |df| * num_tables *
+    ``max_bucket_size``; the exact-cosine verify joins vectors back by id,
+    so only candidate reference vectors are ever shipped. Re-screening a
+    crawl shard against a 100 TB training set touches the training
+    embeddings once for bucketing and once (pruned) for verify.
+    """
+    a = _multi_table_buckets(df, num_tables, planes_per_table, dims, vec_col)
+    r = _multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col).localCheckpoint()
+    # histogram is at most num_tables * 2^planes rows -> broadcast
+    ok = (
+        r.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    r_ok = r.join(F.broadcast(ok), ["tbl", "bucket"]).select(
+        "tbl", "bucket", F.col("vec_id").alias("ref_id")
+    )
+    cand = a.join(r_ok, ["tbl", "bucket"]).select("vec_id", "ref_id").distinct()
+    # norms precomputed once per corpus (N fold evaluations, not 2 per pair)
+    wa = df.select("vec_id", F.col(vec_col).alias("_ea"), _norm(F.col(vec_col)).alias("_na"))
+    wr = reference.select(
+        F.col("vec_id").alias("ref_id"), F.col(vec_col).alias("_er"), _norm(F.col(vec_col)).alias("_nr")
+    )
+    cos = F.round(_dot(F.col("_ea"), F.col("_er")) / (F.col("_na") * F.col("_nr")), 6)
+    matches = (
+        cand.join(wa, "vec_id")
+        .join(wr, "ref_id")
+        .select("vec_id", "ref_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("ref_id"))
+    best = (
+        matches.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return (
+        df.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select("vec_id", F.col("cos").isNotNull().alias("dup_of_ref"), "ref_id", "cos")
     )

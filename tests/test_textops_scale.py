@@ -653,3 +653,33 @@ def test_clean_corpus_rejects_unknown_near_mode(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="near_mode"):
         clean_corpus(df, near_mode="Star")
+
+
+def test_embedding_dedup_against(spark):
+    """Cross-corpus embedding screen: an exact copy and a same-orthant
+    perturbation of a reference vector are flagged with the right best
+    match (cos ties break to the lowest ref_id); an unrelated vector stays
+    clean and keeps NULL match columns."""
+    from biocypher_spark.similarity import embedding_dedup_against
+
+    a = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+    b = [-4.0, 3.0, -2.0, 1.0, -4.0, 3.0, -2.0, 1.0]
+    a_near = [1.1, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.1]
+    reference = spark.createDataFrame(
+        [(10, a), (11, b), (12, a)], "vec_id long, embedding array<double>"
+    )
+    crawl = spark.createDataFrame(
+        [(1, a), (2, a_near), (3, [5.0, -1.0, 0.5, -2.0, 3.0, -0.5, 1.0, -4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_dedup_against(
+            crawl, reference, threshold=0.95, num_tables=4, planes_per_table=2, dims=8
+        ).collect()
+    }
+    assert {k: v["dup_of_ref"] for k, v in out.items()} == {1: True, 2: True, 3: False}
+    assert out[1]["ref_id"] == 10  # cos 1.0 vs both 10 and 12 -> lowest ref wins
+    assert out[1]["cos"] == 1.0
+    assert out[2]["ref_id"] == 10 and out[2]["cos"] >= 0.95
+    assert out[3]["ref_id"] is None and out[3]["cos"] is None
