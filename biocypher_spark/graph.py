@@ -16,6 +16,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
 from .operators.components import connected_components
 
 
@@ -240,16 +241,15 @@ class SparkGraph:
         seen = spark.createDataFrame([(node_id,)], "node_id string")
         frontier = seen
         for _ in range(max_depth):
-            nxt = (
+            nxt = materialize(
                 sym.join(frontier.withColumnRenamed("node_id", "a"), "a", "left_semi")
                 .select(F.col("b").alias("node_id"))
                 .distinct()
                 .join(seen, "node_id", "left_anti")
-                .localCheckpoint()
             )
             if nxt.limit(1).count() == 0:
                 break
-            seen = seen.unionByName(nxt).localCheckpoint()
+            seen = materialize(seen.unionByName(nxt))
             frontier = nxt
         sub = self.get_subgraph(seen)
         return {

@@ -18,6 +18,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
 from .dedup import dedup_edges, dedup_nodes, dedup_rel_as_nodes
 from .model import SEQ
 from .translate import TranslatedEdges
@@ -77,11 +78,11 @@ class InMemoryKG:
         kept = res.kept
         if self._seen_nodes is not None:
             kept = kept.join(self._seen_nodes, "node_id", "left_anti")
-        kept = kept.localCheckpoint()
+        kept = materialize(kept)
         ids = kept.select("node_id")
-        self._seen_nodes = (
+        self._seen_nodes = materialize(
             ids if self._seen_nodes is None else self._seen_nodes.union(ids)
-        ).localCheckpoint()
+        )
         for label in [r[0] for r in kept.select("node_label").distinct().collect()]:
             sub = kept.filter(F.col("node_label") == label)
             typed = _typed_props(sub.drop(SEQ), self._prop_types_for(label, sub, "node"))
@@ -107,11 +108,11 @@ class InMemoryKG:
         kept = res.kept.withColumn("_key", edge_dedup_key())
         if self._seen_edges is not None:
             kept = kept.join(self._seen_edges, ["relationship_label", "_key"], "left_anti")
-        kept = kept.localCheckpoint()
+        kept = materialize(kept)
         keys = kept.select("relationship_label", "_key")
-        self._seen_edges = (
+        self._seen_edges = materialize(
             keys if self._seen_edges is None else self._seen_edges.union(keys)
-        ).localCheckpoint()
+        )
         kept = kept.drop("_key")
         for label in [r[0] for r in kept.select("relationship_label").distinct().collect()]:
             sub = kept.filter(F.col("relationship_label") == label)

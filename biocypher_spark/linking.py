@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
 from .extract import normalize_surface
 from .operators.components import connected_components
 
@@ -89,7 +90,7 @@ def candidate_pairs_guarded(
     # released before the returned plan executes would leave all of those
     # recomputing the blocking, and there is no hook to unpersist after the
     # caller's action. The surface table is small (distinct surfaces).
-    blocked = surfaces.withColumn("_block", _cheap_block(key_col)).localCheckpoint()
+    blocked = materialize(surfaces.withColumn("_block", _cheap_block(key_col)))
     sizes = blocked.groupBy("_block").agg(F.count(F.lit(1)).alias("_bn"))
     tagged = blocked.join(sizes, "_block")
     small = tagged.filter(F.col("_bn") <= max_block_size)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..materialize import materialize
 
 
 def connected_components_local(edge_list: list[tuple]) -> dict:
@@ -73,14 +74,13 @@ def connected_components(
             node_type = sym.schema["a"].dataType
             schema = T.StructType([T.StructField("node", node_type), T.StructField("comp", node_type)])
             return edges.sparkSession.createDataFrame(sorted(comp.items()), schema)
-    sym = sym.localCheckpoint()
+    sym = materialize(sym)
 
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("node"), F.col("b"))
         .groupBy("node")
         .agg(F.min("b").alias("comp"))
         .select("node", F.least("comp", "node").alias("comp"))
-        .localCheckpoint()
     )
 
     changed = 1
@@ -101,10 +101,9 @@ def connected_components(
         # iteration, so convergence is O(log diameter) instead of O(diameter)
         # — a 25-iteration cap covers diameters up to ~2^25.
         jump = stepped.select(F.col("node").alias("comp"), F.col("comp").alias("_comp2"))
-        new_labels = (
+        new_labels = materialize(
             stepped.join(jump, "comp", "left")
             .select("node", F.least(F.col("comp"), F.coalesce(F.col("_comp2"), F.col("comp"))).alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _materialize
+
 from .extract import extract_mentions, normalize_surface
 from .graph import SparkGraph
 from .mapping import SchemaMapping
@@ -69,7 +71,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str, materialize: bool = False) -
         return df
     if -(-total // max_bytes) < target:
         out = df.repartition(target)
-        return out.localCheckpoint() if materialize else out
+        return _materialize(out) if materialize else out
     return df
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -316,9 +318,9 @@ def embedding_near_dup(
     """
     # the tiny (vec_id, tbl, bucket) table is materialized: it feeds the
     # size histogram AND both sides of the candidate self-join.
-    assigned = _multi_table_buckets(
-        embeddings, num_tables, planes_per_table, dims, vec_col
-    ).localCheckpoint()
+    assigned = materialize(
+        _multi_table_buckets(embeddings, num_tables, planes_per_table, dims, vec_col)
+    )
     # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
     ok_buckets = (
         assigned.groupBy("tbl", "bucket")
@@ -390,7 +392,7 @@ def embedding_dedup_against(
     embeddings once for bucketing and once (pruned) for verify.
     """
     a = _multi_table_buckets(df, num_tables, planes_per_table, dims, vec_col)
-    r = _multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col).localCheckpoint()
+    r = materialize(_multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col))
     # histogram is at most num_tables * 2^planes rows -> broadcast
     ok = (
         r.groupBy("tbl", "bucket")

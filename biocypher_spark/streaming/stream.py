@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..extract import DEFAULT_PATTERNS
+from ..materialize import materialize
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -302,7 +303,7 @@ def stream_kg(
         # first-row collects, the part write), each of which would
         # otherwise re-run the extraction over the whole batch (measured
         # 5-7 recomputes per batch; the dominant cost of the stream)
-        mentions = stream_mentions(batch_df, pats).localCheckpoint()
+        mentions = materialize(stream_mentions(batch_df, pats))
         if mentions.limit(1).count() == 0:
             parts = state["part_files"]
         else:
@@ -315,8 +316,8 @@ def stream_kg(
             # parquet) run over a few hundred cached rows instead of each
             # re-running the identity-mapping distinct + link join + groupBy
             # chains over the whole micro-batch
-            node_tuples = node_tuples.localCheckpoint()
-            edge_tuples = edge_tuples.localCheckpoint()
+            node_tuples = materialize(node_tuples)
+            edge_tuples = materialize(edge_tuples)
             tn = translator.translate_nodes(node_tuples)
             te = translator.translate_edges(edge_tuples)
             writer.write_nodes(tn.nodes)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 MINHASH_SEEDS = 4
 SIMHASH_BITS = 16
 
@@ -473,7 +475,7 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
     # the 64-bit hash is expensive (64 vote aggregates per row) and consumed
     # by 2 + bands branches below — materialize the tiny (doc_id, hash) table
     # once instead of recomputing it per branch
-    sh = simhash64(df, text_col).localCheckpoint()
+    sh = materialize(simhash64(df, text_col))
     width = 16 // bands  # hex chars per band
     band_structs = [
         F.struct(F.lit(b).alias("band"), F.substring("simhash64", b * width + 1, width).alias("bkey"))
@@ -810,7 +812,7 @@ def _sig_band_table(
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
 
-    sigs = hashed.select(
+    sigs = materialize(hashed.select(
         "doc_id",
         F.size("_hs").alias("_n"),
         "_hs",
@@ -818,7 +820,7 @@ def _sig_band_table(
             F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
             for i, (a, b) in enumerate(minhash_affine_params(seeds))
         ],
-    ).localCheckpoint()
+    ))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1008,11 +1010,10 @@ def clean_corpus(
     # never bodies
     h = df.select("doc_id", F.md5(text_col).alias("_h"))
     reps = h.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
-    exact_drops = (
+    exact_drops = materialize(
         h.join(reps, "_h")
         .filter(F.col("doc_id") != F.col("_rep"))
         .select("doc_id", F.lit("exact_dup").alias("drop_reason"))
-        .localCheckpoint()
     )
     drops.append(exact_drops)
 
@@ -1025,10 +1026,9 @@ def clean_corpus(
         edge_fn = minhash_star_near_dup_edges if near_mode == "star" else minhash_banded_pairs
         pairs = edge_fn(survivors(), text_col=text_col, threshold=near_threshold)
         comp = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
-        near_drops = (
+        near_drops = materialize(
             comp.filter(F.col("node") != F.col("comp"))
             .select(F.col("node").alias("doc_id"), F.lit("near_dup").alias("drop_reason"))
-            .localCheckpoint()
         )
         drops.append(near_drops)
 
@@ -1039,21 +1039,19 @@ def clean_corpus(
             if isinstance(probes, DataFrame)
             else contamination_check(surv, probes, text_col=text_col)
         )
-        cont_drops = (
+        cont_drops = materialize(
             flagged.filter("contaminated")
             .select("doc_id", F.lit("contaminated").alias("drop_reason"))
-            .localCheckpoint()
         )
         drops.append(cont_drops)
 
     if quality_min is not None:
         # NULL score = null text = no content: below any quality floor
         # (a bare `<` comparison would silently keep such docs)
-        qual_drops = (
+        qual_drops = materialize(
             text_profile(survivors(), text_col=text_col)
             .filter((F.col("score") < quality_min) | F.col("score").isNull())
             .select("doc_id", F.lit("low_quality").alias("drop_reason"))
-            .localCheckpoint()
         )
         drops.append(qual_drops)
 

@@ -29,6 +29,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..model import SEQ, json_pystr, scrub_newlines
 from ..naming import parse_label, sentence_to_pascal
 
@@ -203,24 +204,21 @@ def ordered_file_assignment(lines_df: DataFrame, batch_size: int) -> DataFrame:
     """
     spark = lines_df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 1)
-    # localCheckpoint pins BOTH the (sampled, hence nondeterministic)
+    # materialize() pins BOTH the (sampled, hence nondeterministic)
     # range partitioning and the frozen _pid values across the two
     # passes; range partitioning on the unique (_plabel, SEQ) key
     # guarantees every row of chunk p precedes every row of chunk p+1
     # within a label, so chunk offsets are exact.
-    # DURABILITY: localCheckpoint blocks live unreplicated on executors —
-    # on a multi-executor cluster an executor loss between the counts
-    # pass and the write fails the ordered write (no lineage to
-    # recompute). That is acceptable for this mode: ordered_parts exists
-    # for byte-exact golden parity, and a failed write is re-run from the
-    # source. For fault-tolerant ordered writes at cluster scale, swap in
-    # reliable .checkpoint() (HDFS-backed) or persist(DISK_ONLY_2) here —
-    # same pin, two extra copies.
-    ranged = (
+    # DURABILITY: in the default 'local' mode blocks live unreplicated on
+    # executors — an executor loss between the counts pass and the write
+    # fails the ordered write (no lineage to recompute). For
+    # fault-tolerant ordered writes at cluster scale set
+    # spark.biocypher.materialize=reliable (+ setCheckpointDir): same pin,
+    # HDFS/S3-backed (see materialize.py).
+    ranged = materialize(
         lines_df.repartitionByRange(n, "_plabel", SEQ)
         .sortWithinPartitions("_plabel", SEQ)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     counts = ranged.groupBy("_pid", "_plabel").count().collect()
     running: dict[str, int] = {}
