@@ -1150,15 +1150,20 @@ def emb_near_dup(spark, sf_dir):
     (new-crawl vectors screened against a reference corpus derived from the
     same table by vec_id % mod — similarity.embedding_dedup_against, best
     reference match per flagged vector)."""
-    from .similarity import embedding_dedup_against
+    from .similarity import _multi_table_buckets, embedding_dedup_against
 
     emb = _t(spark, sf_dir, "embeddings", materialize=True)
+    # both arms consume the SAME multi-table bucket assignment — the
+    # hyperplane projections (the dominant per-row cost) run once, pinned;
+    # the 'against' arms are parity filters over the pinned narrow table
+    bk = _materialize(_multi_table_buckets(emb, _ND_TABLES, _ND_PLANES, _DIMS, "embedding"))
     within = embedding_near_dup(
         emb,
         threshold=_ND_THRESHOLD,
         num_tables=_ND_TABLES,
         planes_per_table=_ND_PLANES,
         max_bucket_size=_ND_CAP,
+        buckets=bk,
     ).select(F.lit("within").alias("mode"), "va", "vb", "cos")
     against = (
         embedding_dedup_against(
@@ -1168,6 +1173,8 @@ def emb_near_dup(spark, sf_dir):
             num_tables=_ND_TABLES,
             planes_per_table=_ND_PLANES,
             max_bucket_size=_ND_CAP,
+            df_buckets=bk.filter(F.col("vec_id") % _ND_XC_MOD != 0),
+            ref_buckets=bk.filter(F.col("vec_id") % _ND_XC_MOD == 0),
         )
         .filter("dup_of_ref")
         .select(

@@ -300,6 +300,7 @@ def embedding_near_dup(
     dims: int = 64,
     max_bucket_size: int = 1000,
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded multi-table LSH.
 
@@ -315,10 +316,16 @@ def embedding_near_dup(
 
     Expected candidate volume per table ≈ N²/2^planes; with the cap it is
     ≤ N·max_bucket_size — linear in N, never quadratic.
+
+    ``buckets`` optionally supplies a precomputed (and pinned)
+    (vec_id, tbl, bucket) assignment from :func:`_multi_table_buckets` with
+    the SAME table/plane parameters — callers running several LSH flavours
+    over one corpus (e.g. within + against in one report) pay the
+    hyperplane projections once.
     """
     # the tiny (vec_id, tbl, bucket) table is materialized: it feeds the
     # size histogram AND both sides of the candidate self-join.
-    assigned = materialize(
+    assigned = buckets if buckets is not None else materialize(
         _multi_table_buckets(embeddings, num_tables, planes_per_table, dims, vec_col)
     )
     # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
@@ -370,6 +377,8 @@ def embedding_dedup_against(
     dims: int = 64,
     max_bucket_size: int = 1000,
     vec_col: str = "embedding",
+    df_buckets: DataFrame | None = None,
+    ref_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus EMBEDDING near-dedup: flag vectors of ``df`` (the new
     crawl) whose cosine with ANY vector of ``reference`` (the existing
@@ -391,8 +400,18 @@ def embedding_dedup_against(
     crawl shard against a 100 TB training set touches the training
     embeddings once for bucketing and once (pruned) for verify.
     """
-    a = _multi_table_buckets(df, num_tables, planes_per_table, dims, vec_col)
-    r = materialize(_multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col))
+    # optional precomputed assignments (same table/plane params) let a
+    # caller who already bucketed these corpora skip the projection pass
+    a = (
+        df_buckets
+        if df_buckets is not None
+        else _multi_table_buckets(df, num_tables, planes_per_table, dims, vec_col)
+    )
+    r = (
+        ref_buckets
+        if ref_buckets is not None
+        else materialize(_multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col))
+    )
     # histogram is at most num_tables * 2^planes rows -> broadcast
     ok = (
         r.groupBy("tbl", "bucket")
