@@ -221,3 +221,19 @@ def test_text_profile_single_pass(spark):
     plan = formatted_plan(text_profile(docs))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sig_table_is_narrow(spark):
+    """The banded-minhash sig/band tables must NOT carry the fat _hs
+    element-set array: checkpointed rows cannot be column-pruned, so a fat
+    sig table makes the band explode, collision join, and sig attach all
+    deserialize arrays they never read (measured 5x on doc_ngram_jaccard
+    at sf0.1 when _hs rode inside the sig table). The fat table is
+    returned separately for the verify-side joins only."""
+    from biocypher_spark.textops import _sig_band_table
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    sigs, assigned, hashed = _sig_band_table(df, "text", bands=2, rows_per_band=2)
+    assert "_hs" not in sigs.columns
+    assert "_hs" not in assigned.columns
+    assert set(hashed.columns) == {"doc_id", "_hs"}
