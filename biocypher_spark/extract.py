@@ -10,7 +10,7 @@ PER label and reports every label's own matches — pick the variant whose
 semantics fit such gazetteers deliberately:
 
   * ``extract_mentions`` — Arrow-vectorized ``mapInPandas``: pandas
-    ``str.extractall`` with one compiled alternation regex over salted,
+    batches scanned by one compiled alternation regex over salted,
     size-balanced partitions. This is the flagship path required by the
     north rule ("batched mention detection ... inside vectorized
     pandas/Arrow UDFs, no per-row Python").

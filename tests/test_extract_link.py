@@ -179,9 +179,9 @@ def test_canonicalize_local_hot_block_matches(spark):
 
 
 def test_extract_mentions_caller_pattern_with_capturing_group(spark):
-    """User-supplied patterns containing capturing groups must not poison
-    the extractall melt (regression: integer-named group columns raised
-    ValueError in every task)."""
+    """User-supplied patterns containing capturing groups must resolve to
+    the right label (the kernel's match.lastindex fast path is only valid
+    without inner groups; this pins the groupindex-scan fallback)."""
     from biocypher_spark.extract import extract_mentions
 
     df = spark.createDataFrame(
@@ -191,3 +191,37 @@ def test_extract_mentions_caller_pattern_with_capturing_group(spark):
     out = extract_mentions(df, patterns={"gene": r"(GEN|gene-)\d+"}, balance=False)
     got = sorted(r["surface"] for r in out.collect())
     assert got == ["GEN7", "gene-12"]
+
+
+def test_extract_mentions_m_pos_and_null_text(spark):
+    """m_pos counts occurrences per (turn, label) in match order; null and
+    empty text rows yield no mention rows (and an empty ms array in the
+    grouped shape) without erroring."""
+    from biocypher_spark.extract import extract_mentions, extract_mentions_grouped
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "PROT1 then DIS2 then PROT3 then PROT1", None, None),
+            ("c1", 1, "user", None, None, None),
+            ("c1", 2, "user", "", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = sorted(
+        (r["turn_idx"], r["input_label"], r["surface"], r["m_pos"])
+        for r in extract_mentions(df, balance=False).collect()
+    )
+    assert rows == [
+        (0, "disease", "DIS2", 0),
+        (0, "protein", "PROT1", 0),
+        (0, "protein", "PROT1", 2),
+        (0, "protein", "PROT3", 1),
+    ]
+    grouped = {r["turn_idx"]: r["ms"] for r in extract_mentions_grouped(df).collect()}
+    assert [tuple(m) for m in grouped[0]] == [
+        ("protein", "PROT1", 0),
+        ("disease", "DIS2", 0),
+        ("protein", "PROT3", 1),
+        ("protein", "PROT1", 2),
+    ]
+    assert grouped[1] == [] and grouped[2] == []
