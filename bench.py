@@ -168,6 +168,24 @@ def run_hygiene_job(spark) -> dict:
     }
 
 
+def _jvm_cpu_seconds(spark) -> float:
+    """Cumulative user+system CPU of the local-mode JVM (driver=executors).
+
+    Interference diagnostic: this host shows bimodal behavior where an
+    identical pipeline run burns 45 CPU-s in a quiet window and 400-1600
+    CPU-s in a bad one, with the excess showing up as kernel/system time +
+    steal in /proc/stat (host-level interference, not our plan — verified
+    by a concurrent spin-calibration sampler). Recording cpu_sec alongside
+    wall time makes a contaminated measurement visible in the artifact."""
+    try:
+        pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return 0.0
+
+
 def run_pipeline_job(spark, n_turns: int, input_path: str | None = None) -> dict:
     """End-to-end extract -> link -> canonicalize -> triples; returns
     timings + triples/sec (the north-rule throughput metric)."""
@@ -187,6 +205,7 @@ def run_pipeline_job(spark, n_turns: int, input_path: str | None = None) -> dict
     from biocypher_spark.linking import zero_shuffle_evidence
 
     t0 = time.time()
+    c0 = _jvm_cpu_seconds(spark)
     grouped = extract_mentions_grouped(transcripts, balance=balance).persist()
     _linked, pairs = zero_shuffle_evidence(grouped)
     evidence = pairs.select(
@@ -202,12 +221,14 @@ def run_pipeline_job(spark, n_turns: int, input_path: str | None = None) -> dict
         F.count(F.lit(1)), F.count_distinct("subj", "pred", "obj")
     ).collect()[0]
     elapsed = time.time() - t0
+    cpu = _jvm_cpu_seconds(spark) - c0
     grouped.unpersist()
     return {
         "turns": n_turns,
         "evidence_rows": n_evidence,
         "triples": n_triples,
         "sec": round(elapsed, 2),
+        "cpu_sec": round(cpu, 1),
         "turns_per_sec": round(n_turns / elapsed, 1),
         "evidence_per_sec": round(n_evidence / elapsed, 1),
     }
@@ -382,8 +403,16 @@ def main() -> None:
     inline_turns = min(SCALING_TURNS, 2_000_000)
     inline_path = materialize_input(spark, inline_turns)
     run_pipeline_job(spark, inline_turns, input_path=inline_path)
+    # repeats+1 for the pipeline specifically: this host's interference is
+    # bimodal (an identical run is either ~4.5s/45 CPU-s or 20-80s with the
+    # excess in kernel time — see _jvm_cpu_seconds), so one extra ~5s draw
+    # materially improves the odds that the min is an uncontaminated run;
+    # cpu_sec in the selected dict records how clean that run actually was
     pipeline = min(
-        (run_pipeline_job(spark, inline_turns, input_path=inline_path) for _ in range(repeats)),
+        (
+            run_pipeline_job(spark, inline_turns, input_path=inline_path)
+            for _ in range(repeats + 1)
+        ),
         key=lambda s: s["sec"],
     )
     timings["kg_pipeline_e2e"] = pipeline["sec"]
