@@ -24,7 +24,13 @@ is expected, not exceptional.
 directory. Same semantics, same eagerness, same nondeterminism pinning;
 the only trade is one distributed write+read per pinned frame, which the
 pinned frames are sized for (signatures, ids, band keys — never document
-bodies). A deliberately unsupported third option is ``persist`` with a
+bodies). Checkpoint files are NOT deleted by default when the frame is
+garbage-collected: iterative callers (connected_components pins ~2 frames
+per iteration; stream_kg pins several per micro-batch) will accumulate
+files in the checkpoint dir across a long run unless the session is built
+with ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+context-start conf — it cannot be enabled after the session exists) or an
+external sweeper prunes old run directories. A deliberately unsupported third option is ``persist`` with a
 replicated storage level: persist keeps lineage, so losing both replicas
 silently RECOMPUTES a frame that may derive from nondeterministic
 sampling — exactly the inconsistency pinning exists to prevent.

@@ -88,12 +88,22 @@ def hybrid_ontology(
             return norm if switched else onto._find_node_by_label(norm)
 
         head_join = resolve(head, conf["head_join_node"], head_switched)
-        if head_join not in head._parents:
+        if head_join is None or head_join not in head._parents:
+            # name the user's CONFIGURED value when resolve() missed (it
+            # returns None on a label miss, and "'None' not found" would
+            # misdirect a label typo into looking structural); message
+            # shape otherwise mirrors the reference's
+            shown = head_join if head_join is not None else conf["head_join_node"]
             raise ValueError(
-                f"Head join node '{head_join}' not found in head ontology. "
+                f"Head join node '{shown}' not found in head ontology. "
                 f"The head ontology contains the following nodes: {list(head._parents)}."
             )
         tail_join = resolve(tail, conf["tail_join_node"], conf.get("switch_label_and_id", True))
+        if tail_join is None:
+            raise ValueError(
+                f"Tail join node '{conf['tail_join_node']}' not found in tail "
+                f"ontology '{conf['url']}' (no node with that label)."
+            )
         head._labels.update(tail._labels)
         head.graft(tail, head_join, tail_join, merge_nodes=conf.get("merge_nodes", True))
     if mapping is not None:

@@ -91,6 +91,21 @@ _TURTLE_TOKEN = re.compile(
 )
 
 
+def _emit_rdf_list(items: list, bnode, triples: list) -> str:
+    """Emit an RDF collection (first/rest chain) into ``triples``; returns
+    the head node (rdf:nil for an empty list). Shared by both parsers."""
+    if not items:
+        return RDF_NIL
+    head = bnode()
+    cur = head
+    for i, item in enumerate(items):
+        triples.append((cur, RDF_FIRST, item))
+        nxt = bnode() if i + 1 < len(items) else RDF_NIL
+        triples.append((cur, RDF_REST, nxt))
+        cur = nxt
+    return head
+
+
 class TurtleParser:
     """Recursive-descent parser for the Turtle subset in ontology files."""
 
@@ -208,16 +223,7 @@ class TurtleParser:
         raise ValueError(f"Turtle parse error: unexpected {kind} {val!r}")
 
     def _emit_list(self, items: list[str]) -> str:
-        if not items:
-            return RDF_NIL
-        head = self._bnode()
-        cur = head
-        for i, item in enumerate(items):
-            self.triples.append((cur, RDF_FIRST, item))
-            nxt = self._bnode() if i + 1 < len(items) else RDF_NIL
-            self.triples.append((cur, RDF_REST, nxt))
-            cur = nxt
-        return head
+        return _emit_rdf_list(items, self._bnode, self.triples)
 
     def _parse_predicate_object_list(self, subj: str) -> None:
         while True:
@@ -386,16 +392,7 @@ class RdfXmlParser:
         self.triples.append((subj, pred, Literal(prop.text if prop.text is not None else "")))
 
     def _emit_list(self, items: list[str]) -> str:
-        if not items:
-            return RDF_NIL
-        head = self._bnode()
-        cur = head
-        for i, item in enumerate(items):
-            self.triples.append((cur, RDF_FIRST, item))
-            nxt = self._bnode() if i + 1 < len(items) else RDF_NIL
-            self.triples.append((cur, RDF_REST, nxt))
-            cur = nxt
-        return head
+        return _emit_rdf_list(items, self._bnode, self.triples)
 
 
 # ---------------------------------------------------------------------------

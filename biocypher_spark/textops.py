@@ -157,6 +157,26 @@ def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column |
     ).filter(F.size("_hs") > 0)
 
 
+def _star_candidates(assigned: DataFrame) -> DataFrame:
+    """(doc_a=bucket hub, doc_b=member) star edges from a band assignment.
+
+    Hub = min doc_id per (band, bkey), computed as groupBy + join-back
+    rather than min-over-window: a window pins each LSH bucket to ONE sort
+    task, and on the dup-dense corpora this path exists for (one
+    boilerplate page duplicated millions of times = one mega-bucket) that
+    single task is the straggler/OOM wall. The groupBy gets map-side
+    combine (bucket collapses to one row per map partition before the
+    shuffle) and the join-back probe is AQE-skew-splittable — same shape
+    as clean_corpus's exact-dedup stage, chosen there for the same reason."""
+    hubs = assigned.groupBy("band", "bkey").agg(F.min("doc_id").alias("doc_a"))
+    return (
+        assigned.join(hubs, ["band", "bkey"])
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_band_star_edges(
     df: DataFrame,
     text_col: str = "text",
@@ -179,15 +199,10 @@ def minhash_band_star_edges(
     true duplicate cluster every member verifies against the hub, so dedup
     recall on actual dup clusters is unaffected.
     """
-    from pyspark.sql import Window
-
-    _, assigned, _ = _sig_band_table(df, text_col, bands, rows_per_band, elements)
-    hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
-    return (
-        assigned.select(hub.alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+    _, assigned, _ = _sig_band_table(
+        df, text_col, bands, rows_per_band, elements, need_hashed=False
     )
+    return _star_candidates(assigned)
 
 
 def minhash_star_near_dup_edges(
@@ -204,15 +219,7 @@ def minhash_star_near_dup_edges(
     verify reads the checkpointed sig table's hashed sets (one tokenize
     pass per corpus)."""
     _, assigned, hashed = _sig_band_table(df, text_col, bands, rows_per_band, elements)
-    from pyspark.sql import Window
-
-    hub = F.min("doc_id").over(Window.partitionBy("band", "bkey"))
-    cand = (
-        assigned.select(hub.alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
-    return _verify_hashed_jaccard(cand, df, threshold, hashed=hashed)
+    return _verify_hashed_jaccard(_star_candidates(assigned), df, threshold, hashed=hashed)
 
 
 def minhash_band_candidates(
@@ -259,7 +266,9 @@ def minhash_band_candidates(
       compiles to a whole-stage-codegen sum of equality flags; an array +
       zip_with formulation runs interpreted HOF lambdas per pair.
     """
-    sigs, assigned, _ = _sig_band_table(df, text_col, bands, rows_per_band, elements)
+    sigs, assigned, _ = _sig_band_table(
+        df, text_col, bands, rows_per_band, elements, need_hashed=False
+    )
     return _band_candidates(sigs, assigned, bands * rows_per_band, est_min_matches, size_ratio_min)
 
 
@@ -790,8 +799,13 @@ def exact_dedup_against(df: DataFrame, reference: DataFrame, text_col: str = "te
 
 
 def _sig_band_table(
-    df: DataFrame, text_col: str, bands: int, rows_per_band: int, elements: Column | None = None
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    df: DataFrame,
+    text_col: str,
+    bands: int,
+    rows_per_band: int,
+    elements: Column | None = None,
+    need_hashed: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """(sigs, band_assignment, hashed) for one corpus — the SHARED
     signature stage of the whole banded-minhash family (pairs, star edges,
     cross-corpus dedup). ``hashed`` is the pinned FAT per-doc element-set
@@ -818,9 +832,17 @@ def _sig_band_table(
     quadratically, and an empty set has no meaningful Jaccard anyway. Band
     assignment is ONE narrow explode over the materialized sig table —
     downstream join output is the ~100x-larger pre-filter collision set,
-    so each carried byte multiplies."""
+    so each carried byte multiplies.
+
+    ``need_hashed=False`` (candidate-only callers that never verify): the
+    fat element-set table is left as a lazy subexpression of the sig
+    materialization instead of being checkpointed itself — tokenize+hash
+    still runs exactly once (inside the one sig pass), but the per-doc
+    hash arrays are never written to or pinned in executor storage with
+    zero downstream readers; the third return value is None."""
     seeds = bands * rows_per_band
-    hashed = materialize(hashed_element_set(df, text_col=text_col, elements=elements))
+    hashed_expr = hashed_element_set(df, text_col=text_col, elements=elements)
+    hashed = materialize(hashed_expr) if need_hashed else hashed_expr
 
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
@@ -846,7 +868,7 @@ def _sig_band_table(
     assigned = sigs.select("doc_id", "_n", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", "_n", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
-    return sigs, assigned, hashed
+    return sigs, assigned, (hashed if need_hashed else None)
 
 
 def near_dedup_against(

@@ -79,9 +79,28 @@ def main() -> None:
             "probes": args.probes,
         },
     }
-    with open(os.path.join(args.output, "report.json"), "w") as fh:
-        json.dump(stats, fh)
+    _write_text(spark, os.path.join(args.output, "report.json"), json.dumps(stats))
     print(json.dumps(stats))
+
+
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file next to the job's parquet outputs.
+
+    The parquet writes accept any Hadoop URI, so the report must too — a
+    builtin open() would succeed locally and then fail the whole job on
+    hdfs://... / s3a://... AFTER all the expensive pipeline work ran."""
+    if "://" not in path or path.startswith("file://"):
+        with open(path.removeprefix("file://"), "w") as fh:
+            fh.write(content)
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 if __name__ == "__main__":

@@ -237,3 +237,35 @@ def test_sig_table_is_narrow(spark):
     assert "_hs" not in sigs.columns
     assert "_hs" not in assigned.columns
     assert set(hashed.columns) == {"doc_id", "_hs"}
+
+
+def test_star_candidates_have_no_window(spark):
+    """Star-edge hubs must come from groupBy(band,bkey).agg(min) + join —
+    NOT min-over-window: a window pins each LSH bucket to ONE sort task,
+    and the dup-dense corpora this path exists for produce mega-buckets
+    (one boilerplate page duplicated millions of times). The groupBy gets
+    map-side combine and the join-back is AQE-skew-splittable."""
+    from biocypher_spark.plans import formatted_plan
+    from biocypher_spark.textops import minhash_band_star_edges
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(6)], "doc_id long, text string"
+    )
+    plan = formatted_plan(minhash_band_star_edges(df))
+    assert "Window" not in plan, "star hub must not use a window:\n" + plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_candidate_only_callers_skip_fat_materialize(spark):
+    """need_hashed=False: candidate-only banded-minhash callers must not
+    pin the fat per-doc element-set table in executor storage (it has no
+    downstream reader there); tokenize+hash still runs inside the one sig
+    materialization."""
+    from biocypher_spark.textops import _sig_band_table
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    sigs, assigned, hashed = _sig_band_table(
+        df, "text", bands=2, rows_per_band=2, need_hashed=False
+    )
+    assert hashed is None
+    assert "_hs" not in sigs.columns and "_hs" not in assigned.columns
