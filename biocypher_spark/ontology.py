@@ -24,7 +24,6 @@ reference's ``_extend_ontology`` (/root/reference/biocypher/_ontology.py:
 
 from __future__ import annotations
 
-import re
 from typing import Iterable, Optional
 
 import yaml
@@ -104,7 +103,6 @@ def hybrid_ontology(
                 f"Tail join node '{conf['tail_join_node']}' not found in tail "
                 f"ontology '{conf['url']}' (no node with that label)."
             )
-        head._labels.update(tail._labels)
         head.graft(tail, head_join, tail_join, merge_nodes=conf.get("merge_nodes", True))
     if mapping is not None:
         head.mapping = mapping
@@ -320,6 +318,20 @@ class Ontology:
             for p in tail._parents.get(child, []):
                 if p in keep:
                     self._add_edges(rename(child), [rename(p)])
+        # merge labels for GRAFTED nodes only, under their post-rename ids.
+        # A blanket tail._labels.update would (a) register labels for tail
+        # nodes outside the grafted subtree (nonexistent in this DAG) and
+        # (b) with merge_nodes keep the merged-away tail join id alive —
+        # a later multi-tail graft resolving a join label through
+        # _find_node_by_label would then land on a dead node id and raise
+        # a spurious "not found". When both sides label the merged join
+        # node the tail's label wins, matching the reference's
+        # nx.compose(head, renamed_tail) attribute policy (second graph's
+        # attributes overwrite; _ontology.py:606-647).
+        for n in keep:
+            lbl = tail._labels.get(n)
+            if lbl is not None:
+                self._labels[rename(n)] = lbl
         if not merge_nodes:
             self._add_edges(tail_join_node, [head_join_node])
 

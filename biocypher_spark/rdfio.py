@@ -83,9 +83,9 @@ _TURTLE_TOKEN = re.compile(
     | (?P<string>"(?:[^"\\\n]|\\.)*")
     | (?P<dtype>\^\^)
     | (?P<punct>[;,\[\]\(\)])
-    | (?P<dot>\.(?=\s|$))
+    | (?P<dot>\.(?=[\s\#]|$))
     | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
-    | (?P<pname>[^\s;,\[\]\(\)"^]+?(?=\s|[;,\[\]\(\)"]|\.\s|\.$|$))
+    | (?P<pname>[^\s;,\[\]\(\)"^\#]+?(?=[\s\#]|[;,\[\]\(\)"]|\.[\s\#]|\.$|$))
     """,
     re.X,
 )

@@ -207,6 +207,28 @@ class RDFWriter:
     def _rdf_object(self) -> str:
         return "rdf:object" if self.turtle else RDF_OBJECT
 
+    def _sanitized_props(self):
+        """props map with 'bc:'-prefixed IRI-sanitized keys and JSON-string
+        values, FIRST-WINS deduplicated on the sanitized key. Sanitization
+        can collide distinct raw keys ('retail price' and 'retail_price'
+        both map to bc:retail_price); a plain transform_keys would then
+        build a duplicate-key map, which errors the whole label write under
+        Spark's default mapKeyDedupPolicy=EXCEPTION. The triple-per-key
+        formats emit both colliding triples; one JSON object cannot, so the
+        first entry (map_entries preserves insertion order) is kept."""
+        sanitized = F.transform(
+            F.map_entries("props"),
+            lambda e: F.struct(
+                F.concat(F.lit("bc:"), _safe_id(e["key"])).alias("key"),
+                json_pystr(e["value"]).alias("value"),
+            ),
+        )
+        keys = F.transform(sanitized, lambda e: e["key"])
+        first_wins = F.filter(
+            sanitized, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+        )
+        return F.map_from_entries(first_wins)
+
     def write_nodes(self, nodes: DataFrame) -> list[str]:
         written = []
         labels = [r[0] for r in nodes.select("node_label").distinct().collect()]
@@ -229,10 +251,7 @@ class RDFWriter:
                         # declared in @context so JSON-LD expansion would
                         # silently drop them, and a key literally named
                         # '@id'/'@type' would collide in map_concat
-                        F.transform_values(
-                            F.transform_keys("props", lambda k, _v: F.concat(F.lit("bc:"), _safe_id(k))),
-                            lambda _k, v: json_pystr(v),
-                        ),
+                        self._sanitized_props(),
                     )
                 )
                 lines = sub.select(obj.alias("value"))

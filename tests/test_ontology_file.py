@@ -355,3 +355,44 @@ def test_unknown_rdf_format_raises_clear_error(tmp_path):
     p.write_text("@prefix ex: <http://example.org/> .\nex:a ex:b ex:c .\n")
     with pytest.raises(ValueError, match="Could not determine format"):
         Ontology(hierarchy_file=str(p), file_format="n3")
+
+
+def test_turtle_dot_immediately_before_comment(tmp_path):
+    # legal Turtle: a comment needs no preceding whitespace, so the
+    # statement dot may be followed directly by '#...' — the tokenizer
+    # must not swallow '.#comment' as one pname
+    p = tmp_path / "c.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        'ex:a rdfs:label "Alpha".#trailing comment\n'
+        "ex:a rdfs:subClassOf ex:b.# another\n"
+        'ex:b rdfs:label "Beta" .\n'
+    )
+    triples = parse_rdf_file(str(p))
+    subs = {(s, o) for s, pr, o in triples if pr.endswith("subClassOf")}
+    assert subs == {("http://ex.org/a", "http://ex.org/b")}
+    parents, _ = build_ontology_graph(triples)
+    assert parents["alpha"] == ["beta"]
+
+
+def test_graft_label_merge_subtree_only():
+    # graft must merge label attributes ONLY for grafted-subtree nodes,
+    # under their post-rename ids: a blanket tail-label import kept the
+    # merged-away tail join id label-resolvable (a later multi-tail join
+    # label lookup landed on a dead node id) and registered labels for
+    # tail nodes outside the subtree. The merged join node takes the
+    # tail's label — reference nx.compose(head, renamed_tail) gives the
+    # second graph's attributes precedence (_ontology.py:606-647).
+    head = Ontology(parent_map={"middle": "root"})
+    head._labels.update({"middle": "Middle", "root": "Root"})
+    tail = Ontology(parent_map={"tail child": "tail root", "stray": "unrelated"})
+    tail._labels.update(
+        {"tail root": "Tail Root", "tail child": "Tail Child", "stray": "Stray"}
+    )
+    head.graft(tail, "middle", "tail root", merge_nodes=True)
+    assert head.node_label("tail root") is None  # dead id after merge
+    assert head.node_label("stray") is None  # outside the grafted subtree
+    assert head.node_label("middle") == "Tail Root"  # tail wins on merge
+    assert head.node_label("tail child") == "Tail Child"
+    assert head._find_node_by_label("Tail Root") == "middle"

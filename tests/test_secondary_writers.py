@@ -244,3 +244,22 @@ def test_ontology_graphml_export(tmp_path):
     g = nx.read_graphml(path)
     assert set(g.nodes) >= {"protein", "polypeptide", "named thing", "gene"}
     assert ("protein", "polypeptide") in g.edges
+
+
+def test_rdf_writer_jsonld_colliding_sanitized_keys(spark, translator, tmp_path):
+    """Two raw prop keys that sanitize to the same IRI-safe name must not
+    build a duplicate-key map (Spark's default mapKeyDedupPolicy=EXCEPTION
+    errors the whole label write); first entry wins, write succeeds."""
+    import json
+
+    nodes = spark.createDataFrame(
+        [("p1", "protein", {"retail price": "a", "retail_price": "b", "name": "n"})],
+        "node_id string, node_label string, props map<string,string>",
+    )
+    w = RDFWriter(spark, translator, str(tmp_path / "j"), rdf_format="json-ld")
+    w.write_nodes(nodes)
+    doc = json.loads(read(tmp_path / "j" / "Protein.jsonld"))
+    g = doc["@graph"][0]
+    assert g["bc:name"] == "n"
+    assert g["bc:retail_price"] in ("a", "b")  # exactly one survives
+    assert sum(1 for k in g if k == "bc:retail_price") == 1
