@@ -910,21 +910,6 @@ def _ivf_cluster_sql(k: int = _IVF_K) -> tuple[str, str]:
     return joins, cluster
 
 
-@register("emb_ivf_assign", None)
-def emb_ivf_assign(spark, sf_dir):
-    from .similarity import ivf_assign
-
-    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=_IVF_K)
-
-
-def _ivf_assign_oracle() -> str:
-    joins, cluster = _ivf_cluster_sql()
-    return f"SELECT e.vec_id, {cluster} AS cluster FROM embeddings e {joins}"
-
-
-ORACLES["emb_ivf_assign"] = _ivf_assign_oracle()
-
-
 def _ivf_topk_oracle(qid: int = 0, k: int = 10) -> str:
     joins, cluster = _ivf_cluster_sql()
     probe_rows = "\n      UNION ALL ".join(
@@ -1082,15 +1067,10 @@ def _proj_sql(signs: list[int], col: str) -> str:
 _ND_XC_MOD = 5  # cross-corpus split: reference = vec_id % 5 == 0, crawl = rest
 
 
-def _near_dup_oracle() -> str:
-    """Banded multi-table LSH near-dup, recomputed end-to-end in SQL: per-table
-    bucket from the same md5-derived hyperplanes, bucket-size cap, candidate
-    union across tables, exact 64-term cosine re-score. Tagged union of two
-    modes (both fit the driver's 50-query gate): 'within' = pairs inside one
-    corpus (similarity.embedding_near_dup), 'against' = best reference match
-    per new-crawl vector screened against a reference corpus
-    (similarity.embedding_dedup_against; cap on the reference side,
-    max-cos/min-ref_id argmax)."""
+def _emb_bucket_ctes() -> str:
+    """Shared CTE pair ``b, u``: per-table sign-LSH bucket columns from the
+    same md5-derived hyperplanes as similarity._multi_table_buckets, then
+    the (vec_id, tbl, bucket) union across tables."""
     bucket_cols = []
     for t in range(_ND_TABLES):
         parts = []
@@ -1100,13 +1080,31 @@ def _near_dup_oracle() -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM b" for t in range(_ND_TABLES)
     )
+    return (
+        f"b AS (SELECT vec_id, embedding, {', '.join(bucket_cols)} FROM embeddings),\n"
+        f"    u AS ({unions})"
+    )
+
+
+def _emb_cos_sql() -> str:
     dot = _dot_sql("ea.embedding", "eb.embedding")
     na = _dot_sql("ea.embedding", "ea.embedding")
     nb = _dot_sql("eb.embedding", "eb.embedding")
-    cos = f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _near_dup_oracle() -> str:
+    """Banded multi-table LSH near-dup, recomputed end-to-end in SQL: per-table
+    bucket from the same md5-derived hyperplanes, bucket-size cap, candidate
+    union across tables, exact 64-term cosine re-score. Tagged union of two
+    modes (both fit the driver's 50-query gate): 'within' = pairs inside one
+    corpus (similarity.embedding_near_dup), 'against' = best reference match
+    per new-crawl vector screened against a reference corpus
+    (similarity.embedding_dedup_against; cap on the reference side,
+    max-cos/min-ref_id argmax)."""
+    cos = _emb_cos_sql()
     return f"""
-    WITH b AS (SELECT vec_id, embedding, {', '.join(bucket_cols)} FROM embeddings),
-    u AS ({unions}),
+    WITH {_emb_bucket_ctes()},
     ok AS (SELECT tbl, bucket FROM u GROUP BY tbl, bucket HAVING count(*) <= {_ND_CAP}),
     c AS (SELECT u.vec_id, u.tbl, u.bucket FROM u JOIN ok USING (tbl, bucket)),
     cand AS (
@@ -1185,6 +1183,61 @@ def emb_near_dup(spark, sf_dir):
         )
     )
     return within.unionByName(against)
+
+
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup end-to-end in SQL: the same capped banded-LSH within-corpus
+    pairs as _near_dup_oracle, then recursive-CTE reachability components
+    (tractable here: the verified pair graph is tiny — 24 pairs at sf0.01,
+    484 at sf0.1) and min-member representative per cluster."""
+    cos = _emb_cos_sql()
+    return f"""
+    WITH RECURSIVE {_emb_bucket_ctes()},
+    ok AS (SELECT tbl, bucket FROM u GROUP BY tbl, bucket HAVING count(*) <= {_ND_CAP}),
+    c AS (SELECT u.vec_id, u.tbl, u.bucket FROM u JOIN ok USING (tbl, bucket)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM c x JOIN c y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    pairs AS (
+      SELECT va, vb
+      FROM cand JOIN embeddings ea ON ea.vec_id = cand.va
+                JOIN embeddings eb ON eb.vec_id = cand.vb
+      WHERE {cos} >= {_ND_THRESHOLD}
+    ),
+    sym AS (SELECT va AS a, vb AS b FROM pairs
+            UNION ALL SELECT vb, va FROM pairs),
+    walk(node, comp) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.node
+    ),
+    comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+    SELECT e.vec_id,
+           coalesce(comps.comp, e.vec_id) AS cluster_id,
+           (coalesce(comps.comp, e.vec_id) = e.vec_id) AS is_rep
+    FROM embeddings e LEFT JOIN comps ON comps.node = e.vec_id
+    """
+
+
+@register("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: capped banded-LSH cosine pairs ->
+    distributed connected components -> one canonical representative (min
+    vec_id) per semantic cluster; the keep-set of an embedding-level dedup
+    pass (similarity.semantic_dedup). Replaced emb_ivf_assign in the
+    50-query gate — centroid assignment stays oracle-exercised inside
+    emb_ivf_topk / emb_ivf_recall / emb_ivf_trained_topk."""
+    from .similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings", materialize=True)
+    return semantic_dedup(
+        emb,
+        threshold=_ND_THRESHOLD,
+        num_tables=_ND_TABLES,
+        planes_per_table=_ND_PLANES,
+        max_bucket_size=_ND_CAP,
+    )
 
 
 # ---------------------------------------------------------------------------

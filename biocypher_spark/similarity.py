@@ -446,3 +446,54 @@ def embedding_dedup_against(
         .join(best, "vec_id", "left")
         .select("vec_id", F.col("cos").isNotNull().alias("dup_of_ref"), "ref_id", "cos")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    dims: int = 64,
+    max_bucket_size: int = 1000,
+    vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cosine near-dup PAIRS
+    (:func:`embedding_near_dup`) -> connected components -> one canonical
+    representative (min vec_id) per semantic cluster. Returns one row per
+    input vector: (vec_id, cluster_id, is_rep); the dedup keep-set is
+    ``is_rep`` (singletons are their own representative), mirroring the
+    SemDeDup recipe (Abbas et al. 2023: cluster, keep one exemplar per
+    near-duplicate semantic group).
+
+    Scale shape: the pair stage is the capped banded multi-table LSH (never
+    all-pairs, candidates <= N * tables * cap), components run the
+    distributed pointer-jumping min-label loop over the PAIR id graph only
+    (near-dup pairs, orders of magnitude smaller than the corpus), and the
+    final assignment is one narrow-key left join of ids against the
+    component table — embeddings themselves are scanned once (LSH) plus
+    the pruned candidate verify.
+    """
+    from .operators.components import connected_components
+
+    pairs = embedding_near_dup(
+        embeddings,
+        threshold=threshold,
+        num_tables=num_tables,
+        planes_per_table=planes_per_table,
+        dims=dims,
+        max_bucket_size=max_bucket_size,
+        vec_col=vec_col,
+        buckets=buckets,
+    )
+    comp = connected_components(pairs.select("va", "vb"), src="va", dst="vb")
+    cluster = F.coalesce("comp", "vec_id")
+    return (
+        embeddings.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("is_rep"),
+        )
+    )

@@ -683,3 +683,26 @@ def test_embedding_dedup_against(spark):
     assert out[1]["cos"] == 1.0
     assert out[2]["ref_id"] == 10 and out[2]["cos"] >= 0.95
     assert out[3]["ref_id"] is None and out[3]["cos"] is None
+
+
+def test_semantic_dedup_clusters_and_reps(spark):
+    # SemDeDup keep-set: identical vectors form one cluster with min-id
+    # representative; unrelated vectors stay singleton reps
+    import math
+
+    from biocypher_spark.similarity import semantic_dedup
+
+    def vec(seed, dims=64):
+        return [math.sin(seed * 31 + i) for i in range(dims)]
+
+    rows = [(0, vec(1)), (1, vec(1)), (2, vec(2)), (3, vec(3)), (4, vec(1))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_rep"])
+        for r in semantic_dedup(emb, threshold=0.99, num_tables=4, planes_per_table=4).collect()
+    }
+    assert len(out) == 5  # one row per input vector
+    assert out[0] == (0, True) and out[1] == (0, False) and out[4] == (0, False)
+    assert out[2] == (2, True) and out[3] == (3, True)
+    # keep-set = reps: exactly 3 survive (one per semantic cluster)
+    assert sum(1 for _, (c, rep) in out.items() if rep) == 3
