@@ -995,6 +995,8 @@ def clean_corpus(
     probes: "DataFrame | list | None" = None,
     quality_min: float | None = None,
     near_mode: str = "pairs",
+    embeddings: "DataFrame | None" = None,
+    semantic_threshold: float = 0.95,
 ) -> DataFrame:
     """The composed training-data hygiene pipeline over one corpus:
 
@@ -1002,14 +1004,19 @@ def clean_corpus(
       2. near-dup suppression   (banded-minhash edges -> connected
                                  components; keep each cluster's min doc_id;
                                  ``near_mode`` picks all-pairs or star edges)
-      3. decontamination        (drop docs containing any probe: inline
+      3. semantic dedup         (optional: SemDeDup over a (vec_id,
+                                 embedding) table keyed by doc_id — capped
+                                 LSH cosine pairs -> components -> keep each
+                                 semantic cluster's representative; catches
+                                 paraphrases that share no shingles)
+      4. decontamination        (drop docs containing any probe: inline
                                  ``contains`` scan for a probe list, exact
                                  shingle semi-join for a probe DataFrame)
-      4. quality floor          (drop docs with profile score < quality_min)
+      5. quality floor          (drop docs with profile score < quality_min)
 
     Returns an AUDIT frame, one row per input doc: ``(doc_id, keep,
     drop_reason)`` with ``drop_reason`` in {exact_dup, near_dup,
-    contaminated, low_quality, NULL}. Reasons are first-match in pipeline
+    semantic_dup, contaminated, low_quality, NULL}. Reasons are first-match in pipeline
     order (a doc that is both an exact dup and contaminated reports
     exact_dup); downstream stages only ever see prior survivors, exactly
     like a staged production pipeline. Join ``keep`` back to the corpus (or
@@ -1066,6 +1073,22 @@ def clean_corpus(
         )
         drops.append(near_drops)
 
+    if embeddings is not None:
+        from .similarity import semantic_dedup
+
+        # only surviving docs participate (a vector whose doc already fell
+        # to exact/near dedup must not anchor a semantic cluster); the join
+        # is narrow-key (vec_id=doc_id), vectors never shuffle with bodies
+        surv_emb = embeddings.join(
+            survivors().select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        sem_drops = materialize(
+            semantic_dedup(surv_emb, threshold=semantic_threshold)
+            .filter(~F.col("is_rep"))
+            .select(F.col("vec_id").alias("doc_id"), F.lit("semantic_dup").alias("drop_reason"))
+        )
+        drops.append(sem_drops)
+
     if probes is not None:
         surv = survivors()
         flagged = (
@@ -1099,8 +1122,8 @@ def clean_corpus(
 
 def hygiene_report(flags: DataFrame) -> DataFrame:
     """Per-stage metrics table over :func:`clean_corpus` output:
-    (outcome, n) with outcome in {kept, exact_dup, near_dup, contaminated,
-    low_quality}. Map-side-combinable k-row aggregate."""
+    (outcome, n) with outcome in {kept, exact_dup, near_dup, semantic_dup,
+    contaminated, low_quality}. Map-side-combinable k-row aggregate."""
     return flags.groupBy(
         F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
     ).agg(F.count(F.lit(1)).alias("n"))

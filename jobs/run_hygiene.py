@@ -1,8 +1,9 @@
 """spark-submit entry point: documents table -> corpus-hygiene audit.
 
 Runs the composed training-data hygiene pipeline (textops.clean_corpus:
-exact dedup -> banded-minhash near-dup connected components ->
-decontamination -> quality floor) over a documents table and writes
+exact dedup -> banded-minhash near-dup connected components -> optional
+SemDeDup semantic dedup -> decontamination -> quality floor) over a
+documents table and writes
 
     {output}/flags/      per-doc (doc_id, keep, drop_reason) audit parquet
     {output}/clean/      surviving documents (all input columns) parquet
@@ -14,6 +15,9 @@ Usage:
         --output /path/to/audit-out \
         [--near-threshold 0.9] [--near-mode star] [--quality-min 0.05] \
         [--probes /path/to/probes.parquet]  # column 'probe'; omit to skip
+        [--embeddings /path/to/embeddings.parquet]  # (vec_id=doc_id,
+        #  embedding array<double>); omit to skip the semantic stage
+        [--semantic-threshold 0.95]
 
 Build the zip with:  python tools/make_pyfiles.py
 """
@@ -36,6 +40,12 @@ def main() -> None:
     ap.add_argument("--no-near", action="store_true", help="skip the near-dup stage")
     ap.add_argument("--quality-min", type=float, default=None)
     ap.add_argument("--probes", default=None, help="parquet with a 'probe' column")
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="parquet with (vec_id, embedding) keyed by doc_id; enables SemDeDup stage",
+    )
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +62,7 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     probes = spark.read.parquet(args.probes) if args.probes else None
+    embeddings = spark.read.parquet(args.embeddings) if args.embeddings else None
     t0 = time.time()
     flags = clean_corpus(
         docs,
@@ -60,6 +71,8 @@ def main() -> None:
         probes=probes,
         quality_min=args.quality_min,
         near_mode=args.near_mode,
+        embeddings=embeddings,
+        semantic_threshold=args.semantic_threshold,
     )
     flags.write.mode("overwrite").parquet(os.path.join(args.output, "flags"))
     flags_back = spark.read.parquet(os.path.join(args.output, "flags"))
@@ -77,6 +90,8 @@ def main() -> None:
             "near_mode": args.near_mode,
             "quality_min": args.quality_min,
             "probes": args.probes,
+            "embeddings": args.embeddings,
+            "semantic_threshold": args.semantic_threshold if args.embeddings else None,
         },
     }
     _write_text(spark, os.path.join(args.output, "report.json"), json.dumps(stats))

@@ -706,3 +706,41 @@ def test_semantic_dedup_clusters_and_reps(spark):
     assert out[2] == (2, True) and out[3] == (3, True)
     # keep-set = reps: exactly 3 survive (one per semantic cluster)
     assert sum(1 for _, (c, rep) in out.items() if rep) == 3
+
+
+def test_clean_corpus_semantic_stage(hygiene_docs, spark):
+    # optional SemDeDup stage: docs 4 and 7 share an embedding (paraphrases
+    # with no shared shingles) -> the higher doc_id drops as semantic_dup;
+    # vectors of docs already dropped by earlier stages must not anchor a
+    # semantic cluster (doc 2's vector matches doc 1's, but 2 is already an
+    # exact_dup -> 1 stays kept, not semantic-deduped against a dead doc)
+    import math
+
+    from biocypher_spark.textops import clean_corpus
+
+    def vec(seed, dims=64):
+        return [math.sin(seed * 31 + i) for i in range(dims)]
+
+    emb = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(1)), (3, vec(2)), (4, vec(3)), (5, vec(4)),
+         (6, vec(5)), (7, vec(3))],
+        "vec_id long, embedding array<double>",
+    )
+    flags = clean_corpus(
+        hygiene_docs,
+        near_threshold=0.8,
+        probes=["secret benchmark answer"],
+        quality_min=0.05,
+        embeddings=emb,
+        semantic_threshold=0.99,
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in flags.collect()}
+    assert got == {
+        1: (True, None),
+        2: (False, "exact_dup"),
+        3: (False, "near_dup"),
+        4: (True, None),
+        5: (False, "contaminated"),
+        6: (False, "low_quality"),
+        7: (False, "semantic_dup"),
+    }
