@@ -80,12 +80,14 @@ _TURTLE_TOKEN = re.compile(
       (?P<comment>\#[^\n]*)
     | (?P<iriref><[^<>"{}|^`\\\s]*>)
     | (?P<string3>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+    | (?P<string3s>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<string>"(?:[^"\\\n]|\\.)*")
+    | (?P<string1>'(?:[^'\\\n]|\\.)*')
     | (?P<dtype>\^\^)
     | (?P<punct>[;,\[\]\(\)])
     | (?P<dot>\.(?=[\s\#]|$))
     | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
-    | (?P<pname>[^\s;,\[\]\(\)"^\#]+?(?=[\s\#]|[;,\[\]\(\)"]|\.[\s\#]|\.$|$))
+    | (?P<pname>[^\s;,\[\]\(\)"'^\#]+?(?=[\s\#]|[;,\[\]\(\)"']|\.[\s\#]|\.$|$))
     """,
     re.X,
 )
@@ -180,8 +182,14 @@ class TurtleParser:
                 else:
                     self.base = self._expect("iriref")[1:-1]
             else:
+                # Turtle grammar: a blankNodePropertyList subject may stand
+                # alone as a whole statement ('[ ... ] .' — OWLAPI/robot
+                # emit owl:Axiom annotation blocks this way); every other
+                # subject form requires a predicate-object list
+                bnode_list_subj = self._peek() == ("punct", "[")
                 subj = self._parse_term(as_subject=True)
-                self._parse_predicate_object_list(subj)
+                if not (bnode_list_subj and self._peek()[0] == "dot"):
+                    self._parse_predicate_object_list(subj)
                 self._expect("dot")
         return self.triples
 
@@ -189,8 +197,8 @@ class TurtleParser:
         kind, val = self._next()
         if kind == "iriref":
             return self._resolve_iri(val)
-        if kind in ("string", "string3"):
-            body = val[3:-3] if kind == "string3" else val[1:-1]
+        if kind in ("string", "string3", "string1", "string3s"):
+            body = val[3:-3] if kind in ("string3", "string3s") else val[1:-1]
             lit = Literal(_decode_string_escapes(body))
             # optional ^^datatype or @lang
             k, _ = self._peek()
@@ -510,20 +518,27 @@ def build_ontology_graph(
             nodes.add(s)
             nodes.add(o)
 
-    # owl:intersectionOf multiple inheritance
+    # owl:intersectionOf multiple inheritance. Child lookup goes through
+    # object->subject indexes built in ONE pass (last subject in triple
+    # order wins, matching the sequential scan this replaced): real
+    # ontologies (GO/MONDO) carry tens of thousands of intersection axioms
+    # over millions of triples, where a per-axiom rescan is O(T*I) driver
+    # CPU — hours instead of seconds.
+    sub_rev: dict[str, str] = {}
+    equiv_rev: dict[str, str] = {}
+    for s2, p2, o2 in triples:
+        if p2 in (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF):
+            sub_rev[o2] = s2
+        elif p2 == OWL_EQUIVALENTCLASS:
+            equiv_rev[o2] = s2
     inter_nodes: set[str] = set()
     for s, p, o in triples:
         if p != OWL_INTERSECTIONOF:
             continue
         parents = _walk_list(o, firsts, rests)
-        child = None
-        for s2, p2, o2 in triples:
-            if p2 in (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF) and o2 == s:
-                child = s2
+        child = sub_rev.get(s)
         if child is None:
-            for s2, p2, o2 in triples:
-                if p2 == OWL_EQUIVALENTCLASS and o2 == s:
-                    child = s2
+            child = equiv_rev.get(s)
         if child is not None:
             for par in parents:
                 edges.append((child, par))

@@ -396,3 +396,49 @@ def test_graft_label_merge_subtree_only():
     assert head.node_label("middle") == "Tail Root"  # tail wins on merge
     assert head.node_label("tail child") == "Tail Child"
     assert head._find_node_by_label("Tail Root") == "middle"
+
+
+def test_turtle_bnode_subject_statement(tmp_path):
+    # OWLAPI/robot serializations emit owl:Axiom annotation blocks as
+    # whole statements whose subject is a blankNodePropertyList with NO
+    # following predicate-object list ('[ ... ] .') — legal per the Turtle
+    # grammar (triples ::= blankNodePropertyList predicateObjectList?) and
+    # previously a hard parse error
+    p = tmp_path / "ax.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "[ a owl:Axiom ; owl:annotatedSource ex:a ] .\n"
+        "[] .\n"
+        'ex:a rdfs:label "Alpha" ; rdfs:subClassOf ex:b .\n'
+        'ex:b rdfs:label "Beta" .\n'
+    )
+    triples = parse_rdf_file(str(p))
+    # the axiom block still yields its own triples under a fresh bnode
+    assert any(pr.endswith("annotatedSource") for _, pr, _ in triples)
+    parents, _ = build_ontology_graph(triples)
+    assert parents["alpha"] == ["beta"]
+
+
+def test_turtle_single_quoted_literals(tmp_path):
+    # spec-legal 'literal' and '''literal''' forms: previously tokenized
+    # as pnames, silently corrupting labels with embedded quote characters
+    p = tmp_path / "sq.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:a rdfs:label 'Alpha' ; rdfs:subClassOf ex:b .\n"
+        "ex:b rdfs:label '''Beta\nGamma''' .\n"
+        "ex:c rdfs:label 'Esc\\'aped'@en ; rdfs:subClassOf ex:b .\n"
+    )
+    triples = parse_rdf_file(str(p))
+    labels = {s: o for s, pr, o in triples if pr.endswith("label")}
+    assert labels["http://ex.org/a"] == "Alpha"
+    assert isinstance(labels["http://ex.org/a"], Literal)
+    assert labels["http://ex.org/b"] == "Beta\nGamma"
+    assert labels["http://ex.org/c"] == "Esc'aped"
+    # label normalisation lowercases but preserves the embedded newline,
+    # exactly as it does for triple-double-quoted labels
+    parents, _ = build_ontology_graph(triples)
+    assert parents["alpha"] == ["beta\n gamma"]

@@ -97,19 +97,28 @@ def test_simhash64_single_shuffle_codegen(spark):
     assert not plan_has(df, "BatchEvalPython")
 
 
-def test_near_dedup_against_single_tokenize_pass(spark):
-    """Cross-corpus near dedup tokenizes each corpus exactly once: the
-    verify join reads hashed element sets from the checkpointed signature
-    tables, so the final plan contains ZERO md5/tokenize work (round-3
-    judge item — it previously re-ran hashed_element_set on both raw
-    corpora for the verify)."""
+def test_near_dedup_against_asymmetric_verify(spark):
+    """Cross-corpus near dedup is memory-asymmetric: the SHARD side's
+    element sets come from its pinned (checkpointed) table — its text is
+    tokenized exactly once, so no shard-side md5 survives in the final
+    plan — while the REFERENCE side (unbounded at 100 TB) is never pinned
+    at corpus size: its verify sets are re-derived from ONLY the candidate
+    docs, pruned by a LeftSemi join on the materialized pair ids BELOW the
+    tokenize projection. Net plan: exactly one md5-bearing element-set
+    projection (the reference re-read) sitting above a LeftSemi."""
     from biocypher_spark.plans import formatted_plan
     from biocypher_spark.textops import near_dedup_against
 
     a = spark.createDataFrame([(1, "a b c d e f"), (2, "x y z w v u")], "doc_id long, text string")
     r = spark.createDataFrame([(10, "a b c d e f")], "doc_id long, text string")
-    out = near_dedup_against(a, r)
-    assert "md5" not in formatted_plan(out)
+    plan = formatted_plan(near_dedup_against(a, r))
+    md5_lines = [ln for ln in plan.splitlines() if "md5" in ln]
+    # the only live tokenize work is the reference re-read producing _sb
+    # (its non-empty filter + projection); the shard's verify set _sa comes
+    # from its pinned table, so no md5 line may mention it
+    assert md5_lines and all("_sa" not in ln for ln in md5_lines), md5_lines
+    assert any("_sb" in ln for ln in md5_lines), md5_lines
+    assert "LeftSemi" in plan
 
 
 def test_embedding_near_dup_plan_bounded(spark):
