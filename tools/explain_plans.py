@@ -26,6 +26,21 @@ def _writer_rank_df(spark):
 
 
 
+def _near_dedup_against_df(spark, sf: str):
+    """Cross-corpus near dedup between two disjoint halves of the documents
+    table — the plan must show the shard verify reading its checkpointed
+    element-set table while the reference side's only tokenize work sits
+    above a LeftSemi candidate-id join (nothing reference-sized pinned)."""
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.textops import near_dedup_against
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return near_dedup_against(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[4]")
@@ -69,6 +84,10 @@ def main() -> None:
         "Shingle n-gram near-dup (banded minhash candidates + est prefilter + exact verify)": doc_ngram_jaccard(spark, sf),
         "SimHash64 (explode + single 64-sum codegen hash aggregate)": simhash64(
             spark.read.parquet(f"{sf}/documents.parquet")
+        ),
+        "Cross-corpus near dedup (asymmetric: shard sets pinned once, reference verify "
+        "re-derived from candidates only behind a LeftSemi — nothing reference-sized pinned)": (
+            _near_dedup_against_df(spark, sf)
         ),
         "Golden-order part-file rank (two-pass distributed: range-sort -> chunk offsets -> local ranks)": _writer_rank_df(spark),
     }
