@@ -54,11 +54,18 @@ MENTION_SCHEMA = T.StructType(
 
 
 def salt_partitions(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
-    """Size-balance by (conv_id, salted turn block): hot conversations are
-    split across partitions instead of hammering one executor."""
+    """Size-balance by (conv_id, turn_idx) hash: hot conversations are
+    split across partitions instead of hammering one executor.
+
+    Partitions on the RAW 64-bit xxhash64 — not a pre-bucketed
+    ``pmod(hash, n)`` value: repartition re-hashes its key with murmur3, and
+    murmur3 over only n distinct bucket ids is a balls-in-bins draw (~1/e of
+    partitions empty, 3-4x max skew). The full-domain hash spreads evenly.
+    ``num_partitions``: callers at scale should size this to the input
+    (an explicit repartition count is outside AQE's reach); the default
+    2x parallelism is the local/balanced-shard setting."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n))
-    return df.repartition(n, salt)
+    return df.repartition(n, F.xxhash64("conv_id", "turn_idx"))
 
 
 def _compile_gazetteer(patterns: dict[str, str]):

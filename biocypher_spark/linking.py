@@ -99,11 +99,11 @@ def candidate_pairs_guarded(
     b = small.select(F.col(key_col).alias("kb"), "_block")
     pairs = a.join(b, "_block").filter(F.col("ka") < F.col("kb")).select("ka", "kb")
     if big.limit(1).count() > 0:
-        pairs = pairs.unionByName(candidate_pairs_prefix(big, threshold))
+        pairs = pairs.unionByName(candidate_pairs_prefix(big, threshold, key_col=key_col))
     return pairs.distinct()
 
 
-def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> DataFrame:
+def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35, key_col: str = "nkey") -> DataFrame:
     """Prefix-filtering candidate generation (PPJoin-style; see the
     set-similarity-join literature in PAPERS.md).
 
@@ -113,8 +113,13 @@ def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> Data
     order bigrams by ascending global document frequency (rarest first) so
     prefixes are maximally selective; the bigram vocabulary is tiny
     (<= alphabet^2), so the frequency table is computed once and broadcast.
+    The prefix join also carries PPJoin's LENGTH filter (lossless:
+    Jaccard >= t implies t*|A| <= |B| <= |A|/t), which bounds the pair
+    volume a globally-common bigram can emit — without it one frequent
+    bigram shared across a large block degenerates to a near-quadratic
+    join on exactly the oversized blocks this path exists to protect.
     """
-    grams = surfaces.select(F.col("nkey"), _bigrams(F.col("nkey")).alias("_grams"))
+    grams = surfaces.select(F.col(key_col).alias("nkey"), _bigrams(F.col(key_col)).alias("_grams"))
     df_counts = (
         grams.select(F.explode("_grams").alias("g")).groupBy("g").count().withColumnRenamed("count", "_df")
     )
@@ -131,9 +136,15 @@ def candidate_pairs_prefix(surfaces: DataFrame, threshold: float = 0.35) -> Data
     w = W.partitionBy("nkey").orderBy("rank")
     prefix_len = F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1
     prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(F.col("_pos") <= prefix_len)
-    a = prefix.select(F.col("nkey").alias("ka"), "g")
-    b = prefix.select(F.col("nkey").alias("kb"), "g")
-    return a.join(b, "g").filter(F.col("ka") < F.col("kb")).select("ka", "kb").distinct()
+    a = prefix.select(F.col("nkey").alias("ka"), "g", F.col("_n").alias("_na"))
+    b = prefix.select(F.col("nkey").alias("kb"), "g", F.col("_n").alias("_nb"))
+    length_ok = F.least("_na", "_nb") >= F.greatest("_na", "_nb") * F.lit(threshold)
+    return (
+        a.join(b, "g")
+        .filter((F.col("ka") < F.col("kb")) & length_ok)
+        .select("ka", "kb")
+        .distinct()
+    )
 
 
 def _bigrams_py(s: str) -> set:
@@ -171,8 +182,12 @@ def _prefix_candidates_py(keys: list[str], threshold: float) -> set:
     for members in buckets.values():
         members = sorted(set(members))
         for i, a in enumerate(members):
+            na = len(grams[a])
             for b in members[i + 1 :]:
-                out.add((a, b))
+                nb = len(grams[b])
+                # same lossless length filter as the Spark path
+                if min(na, nb) >= max(na, nb) * threshold:
+                    out.add((a, b))
     return out
 
 
@@ -241,21 +256,29 @@ def canonicalize(
     surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
     surfaces = surfaces.persist()
     spark = mentions.sparkSession
-    # one action decides the path AND fetches the domain: if the limited
-    # collect comes back short, we already hold the full surface set
-    head = surfaces.limit(driver_cc_threshold).collect()
-    if len(head) < driver_cc_threshold:
-        keys = [r["nkey"] for r in head]
+    # count-probe, not collect-probe: on the large-domain path a limited
+    # collect would serialize driver_cc_threshold rows to the driver only to
+    # discard them; the count ships nothing. The small path pays one extra
+    # (cached) action for its full collect.
+    if surfaces.limit(driver_cc_threshold).count() < driver_cc_threshold:
+        keys = [r["nkey"] for r in surfaces.collect()]
         comp_map = canonicalize_local(keys, threshold, max_block_size)
         surfaces.unpersist()
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [(k, comp_map.get(k, k)) for k in keys], "nkey string, canonical_id string"
         )
+        out._driver_sized = True  # bounded by driver_cc_threshold: safe to broadcast
+        return out
 
     pairs = candidate_pairs_guarded(surfaces, threshold=threshold, max_block_size=max_block_size)
     edges = score_pairs(pairs, threshold)
     loops = surfaces.select(F.col("nkey").alias("ka"), F.col("nkey").alias("kb"), F.lit(1.0).alias("sim"))
-    comp = connected_components(edges.unionByName(loops), src="ka", dst="kb", max_iter=max_iter)
+    # the self-loop set alone is >= driver_cc_threshold symmetric edges, so
+    # the component step's own limit-collect probe could never take its
+    # driver path — skip straight to the distributed propagation
+    comp = connected_components(
+        edges.unionByName(loops), src="ka", dst="kb", max_iter=max_iter, driver_threshold=0
+    )
     surfaces.unpersist()
     return comp.select(F.col("node").alias("nkey"), F.col("comp").alias("canonical_id"))
 
@@ -296,12 +319,23 @@ def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
     )
 
 
+def _bc(mapping: DataFrame):
+    """Broadcast hint ONLY for maps known to be driver-sized (canonicalize's
+    fast path tags them). Distinct-surface cardinality is unbounded in an
+    open corpus — force-broadcasting a multi-billion-row map from the
+    distributed component path would OOM the driver / hit Spark's broadcast
+    table limit, so untagged maps go through a plain equi-join and AQE still
+    broadcasts them when the runtime size allows."""
+    return F.broadcast(mapping) if getattr(mapping, "_driver_sized", False) else mapping
+
+
 def link_mentions(mentions: DataFrame, threshold: float = 0.35, mapping: DataFrame | None = None) -> DataFrame:
-    """Attach canonical ids to every mention row (broadcast join)."""
+    """Attach canonical ids to every mention row (broadcast join when the
+    map is known driver-sized, AQE-decided otherwise)."""
     if mapping is None:
         mapping = canonicalize(mentions, threshold)
     withkey = mentions.withColumn("nkey", normalize_surface(F.col("surface")))
-    return withkey.join(F.broadcast(mapping), "nkey", "left").withColumn(
+    return withkey.join(_bc(mapping), "nkey", "left").withColumn(
         "canonical_id", F.coalesce(F.col("canonical_id"), F.col("nkey"))
     )
 
@@ -352,11 +386,14 @@ def zero_shuffle_evidence(grouped: DataFrame, threshold: float = 0.35) -> tuple:
         )
     )
     exploded = per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("p"))
+    driver_sized = getattr(mapping, "_driver_sized", False)
     map_a = mapping.select(F.col("nkey").alias("_ka"), F.col("canonical_id").alias("ca_id"))
     map_b = mapping.select(F.col("nkey").alias("_kb"), F.col("canonical_id").alias("cb_id"))
+    if driver_sized:
+        map_a, map_b = F.broadcast(map_a), F.broadcast(map_b)
     resolved = (
-        exploded.join(F.broadcast(map_a), F.col("p.a.k") == F.col("_ka"), "left")
-        .join(F.broadcast(map_b), F.col("p.b.k") == F.col("_kb"), "left")
+        exploded.join(map_a, F.col("p.a.k") == F.col("_ka"), "left")
+        .join(map_b, F.col("p.b.k") == F.col("_kb"), "left")
         .select(
             "conv_id",
             "turn_idx",

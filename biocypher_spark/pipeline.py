@@ -126,6 +126,23 @@ class KGPipeline:
         link_threshold: float = 0.35,
         use_pandas_extraction: bool = True,
     ):
+        import re as _re
+
+        # the CSV batch layout, resume markers, and stale-part wipe all go
+        # through the LOCAL filesystem (os.path/glob), mirroring the
+        # reference: neo4j-admin import itself consumes a local directory.
+        # An object-store URI would make Spark write one place while the
+        # resume/wipe logic checks another — silent resume breakage and
+        # duplicate part files — so refuse it up front.
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", output_directory) and not output_directory.startswith(
+            "file://"
+        ):
+            raise ValueError(
+                f"output_directory {output_directory!r} is not a local/shared-POSIX path: "
+                "the batch-writer layout and checkpoint markers are local-filesystem "
+                "(neo4j-admin import reads a local directory); mount the storage or "
+                "write locally and sync"
+            )
         self.spark = spark
         self.outdir = output_directory
         self.run_dir = run_dir or os.path.join(output_directory, "_run")
@@ -197,11 +214,15 @@ class KGPipeline:
     # -- triple construction --------------------------------------------------
 
     def _build_tuples(self, linked: DataFrame) -> tuple[DataFrame, DataFrame]:
-        return build_triple_tuples(linked)
+        return build_triple_tuples(linked, edge_labels=edge_input_labels(self.mapping))
 
     # -- run --------------------------------------------------------------------
 
     def run(self, transcripts: DataFrame, resume: bool = False, patterns: Optional[dict] = None) -> PipelineResult:
+        # fresh lineage per run(): a retry on the same object must not carry
+        # the failed attempt's rows (per-bucket counts would double and the
+        # coverage check could no longer tell once-processed from twice)
+        self._lineage_rows = []
         stage_secs: dict[str, float] = {}
         t0 = time.time()
         if resume and self._is_done("mentions"):
@@ -224,6 +245,16 @@ class KGPipeline:
 
         t0 = time.time()
         node_tuples, edge_tuples = self._build_tuples(linked)
+        # pin the tuple frames (distinct entities / aggregated pairs — tiny
+        # next to the corpus): the writer emission, the parquet checkpoints,
+        # and the missing-type frame each run their own action, and without
+        # the pin every one re-executes the corpus-scale co-occurrence
+        # shuffle from the linked checkpoint (the translate DAG ran 2-3x per
+        # run; same fix stream_kg applies per micro-batch)
+        from .materialize import materialize
+
+        node_tuples = materialize(node_tuples)
+        edge_tuples = materialize(edge_tuples)
 
         tn = self.translator.translate_nodes(node_tuples)
         te = self.translator.translate_edges(edge_tuples)
@@ -257,12 +288,21 @@ class KGPipeline:
             writer.write_edges(te)
             writer.write_import_call()
 
-        nodes = self._checkpoint("nodes", tn.nodes, resume)
-        edges = self._checkpoint(
-            "edges",
-            te.edges.unionByName(te.ran_edges) if te.ran_edges is not None else te.edges,
-            resume,
-        )
+        # checkpoints must agree with the emitted CSVs, including for
+        # rel-as-node schemas: mirror the writer's first-wins dedup of
+        # reified nodes + helper-edge rebuild (dedup_rel_as_nodes is the
+        # same D3 logic write_edges applies), so PipelineResult.nodes
+        # carries the reified nodes and .edges carries only the SURVIVING
+        # helper edges rather than the translator's pre-dedup frame
+        nodes_out, edges_out = tn.nodes, te.edges
+        if te.ran_nodes is not None:
+            from .dedup import dedup_rel_as_nodes
+
+            ran_nodes_kept, ran_edges_kept, _ = dedup_rel_as_nodes(te.ran_nodes, te.ran_edges)
+            nodes_out = nodes_out.unionByName(ran_nodes_kept)
+            edges_out = edges_out.unionByName(ran_edges_kept)
+        nodes = self._checkpoint("nodes", nodes_out, resume)
+        edges = self._checkpoint("edges", edges_out, resume)
         self._record_lineage("nodes", nodes, key_col="node_id")
         self._record_lineage("edges", edges, key_col="source_id")
         lineage_path = self._flush_lineage()
@@ -287,7 +327,27 @@ class KGPipeline:
         )
 
 
-def build_triple_tuples(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+def edge_input_labels(mapping: SchemaMapping) -> set:
+    """Every input_label the schema can route as an edge class (plain
+    ``represented_as: edge``, ``label_as_edge``, or rel-as-node classes
+    carrying source/target)."""
+    out: set = set()
+    for conf in mapping.extended_schema.values():
+        is_edge = (
+            conf.get("represented_as") == "edge"
+            or conf.get("label_as_edge") is not None
+            or ("source" in conf and "target" in conf)
+        )
+        if not is_edge:
+            continue
+        il = conf.get("input_label")
+        for lab in il if isinstance(il, list) else [il]:
+            if lab:
+                out.add(lab)
+    return out
+
+
+def build_triple_tuples(linked: DataFrame, edge_labels: "set | None" = None) -> tuple[DataFrame, DataFrame]:
     """Linked mentions -> staged node/edge tuple frames.
 
     Node id = canonical id NAMESPACED by input label ("label:canon"):
@@ -316,28 +376,36 @@ def build_triple_tuples(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     from .linking import cooccurrence_pairs
 
+    # edge class + orientation are SCHEMA-DRIVEN, not hardcoded to the
+    # default protein/disease gazetteer: a cross-label pair orients toward
+    # whichever "{la}_{lb}" direction the schema declares as an edge
+    # input_label (protein_disease in the default schema), falling back to
+    # deterministic label-alphabetical order for undeclared pairs — those
+    # then surface in the translator's missing-type metrics instead of
+    # silently vanishing or being mislabeled. Same-label pairs are always
+    # emitted as "{la}_{la}" (declared or not) for the same reason.
+    if edge_labels is None:
+        edge_labels = edge_input_labels(load_default_schema_mapping())
+    known = F.array(*[F.lit(l) for l in sorted(edge_labels)]) if edge_labels else F.array().cast("array<string>")
+
     pairs = cooccurrence_pairs(linked)
     ns_a = F.concat_ws(":", F.col("la"), F.col("ca"))
     ns_b = F.concat_ws(":", F.col("lb"), F.col("cb"))
-    pp = (
-        pairs.filter((F.col("la") == "protein") & (F.col("lb") == "protein"))
-        .groupBy(ns_a.alias("src"), ns_b.alias("tgt"))
-        .agg(F.count(F.lit(1)).alias("turns"))
-        .withColumn("input_label", F.lit("protein_protein"))
-    )
-    # orient protein -> disease regardless of canonical-id ordering
-    pd_pairs = pairs.filter(F.col("la") != F.col("lb"))
-    protein_first = F.col("la") == "protein"
-    pd_ = (
-        pd_pairs.select(
-            F.when(protein_first, ns_a).otherwise(ns_b).alias("src"),
-            F.when(protein_first, ns_b).otherwise(ns_a).alias("tgt"),
+    lab_ab = F.concat_ws("_", F.col("la"), F.col("lb"))
+    lab_ba = F.concat_ws("_", F.col("lb"), F.col("la"))
+    ab_known = F.array_contains(known, lab_ab)
+    ba_known = F.array_contains(known, lab_ba)
+    use_ab = ab_known | (~ba_known & (F.col("la") <= F.col("lb")))
+    oriented = (
+        pairs.select(
+            F.when(use_ab, ns_a).otherwise(ns_b).alias("src"),
+            F.when(use_ab, ns_b).otherwise(ns_a).alias("tgt"),
+            F.when(use_ab, lab_ab).otherwise(lab_ba).alias("input_label"),
         )
-        .groupBy("src", "tgt")
+        .groupBy("src", "tgt", "input_label")
         .agg(F.count(F.lit(1)).alias("turns"))
-        .withColumn("input_label", F.lit("protein_disease"))
     )
-    edges = pp.unionByName(pd_).select(
+    edges = oriented.select(
         F.concat("src", F.lit("_"), "tgt").alias("id"),
         "src",
         "tgt",

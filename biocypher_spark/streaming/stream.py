@@ -191,7 +191,7 @@ def stream_kg(
     """
     from ..linking import link_mentions
     from ..ontology import NullOntology
-    from ..pipeline import build_triple_tuples, load_default_schema_mapping
+    from ..pipeline import build_triple_tuples, edge_input_labels, load_default_schema_mapping
     from ..translate import SparkTranslator
     from ..writer.neo4j import Neo4jBatchWriter
 
@@ -309,7 +309,9 @@ def stream_kg(
         else:
             batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
             linked = link_mentions(mentions, mapping=batch_mapping)
-            node_tuples, edge_tuples = build_triple_tuples(linked)
+            node_tuples, edge_tuples = build_triple_tuples(
+                linked, edge_labels=edge_input_labels(schema_mapping)
+            )
             # materialize the tiny tuple frames (distinct entities / edges of
             # the batch) so the writer's several downstream actions per side
             # (seen-dedup count, first-rows collect, part write, seen-state

@@ -225,3 +225,37 @@ def test_extract_mentions_m_pos_and_null_text(spark):
         ("protein", "PROT1", 2),
     ]
     assert grouped[1] == [] and grouped[2] == []
+
+
+def test_prefix_candidates_custom_key_col(spark):
+    # the guarded big-block path forwards key_col; the prefix filter must
+    # not assume the column is literally named 'nkey'
+    from biocypher_spark.linking import candidate_pairs_prefix
+
+    surfaces = spark.createDataFrame(
+        [("prot1",), ("prot2",), ("prot11",)], "surface_norm string"
+    )
+    pairs = {
+        (r["ka"], r["kb"])
+        for r in candidate_pairs_prefix(surfaces, threshold=0.35, key_col="surface_norm").collect()
+    }
+    assert ("prot1", "prot2") in pairs
+
+
+def test_prefix_length_filter_lossless(spark):
+    # PPJoin length filter: a pair whose bigram-set sizes differ by more
+    # than the threshold ratio can never reach Jaccard >= t, so it must be
+    # pruned from the candidates; near-equal-size true pairs survive
+    from biocypher_spark.linking import candidate_pairs_prefix, score_pairs
+
+    surfaces = spark.createDataFrame(
+        [("ab",), ("abcdefghijklmnopqrstuvwxyz",), ("abcdefghijklmnopqrstuvwxyy",)],
+        "nkey string",
+    )
+    cand = candidate_pairs_prefix(surfaces, threshold=0.5)
+    got = {(r["ka"], r["kb"]) for r in cand.collect()}
+    # 1 bigram vs 25 bigrams: ratio 0.04 < 0.5 — pruned despite sharing 'ab'
+    assert not any("ab" in p for p in got)
+    assert ("abcdefghijklmnopqrstuvwxyy", "abcdefghijklmnopqrstuvwxyz") in got
+    # and the filter is lossless w.r.t. the verified edge set
+    assert score_pairs(cand, 0.5).count() == 1

@@ -156,3 +156,72 @@ def test_default_schema_loads_from_zip(tmp_path, monkeypatch):
     monkeypatch.setattr(pl, "DEFAULT_SCHEMA", str(zpath) + "/config/absent.yaml")
     fallback = pl.load_default_schema_mapping()
     assert "protein" in fallback.extended_schema
+
+
+def test_rerun_resets_lineage(spark, tmp_path):
+    # a retried run() on the same pipeline object must not carry the first
+    # attempt's lineage rows (per-bucket counts would double and coverage
+    # verification could no longer tell once-processed from twice)
+    outdir = str(tmp_path / "kg")
+    pipe = KGPipeline(spark, outdir)
+    transcripts = generate_transcripts(spark, 1000)
+    r1 = pipe.run(transcripts)
+    n1 = spark.read.parquet(r1.lineage_path).count()
+    r2 = pipe.run(transcripts, resume=True)
+    assert spark.read.parquet(r2.lineage_path).count() == n1
+
+
+def test_object_store_output_dir_rejected(spark):
+    # resume markers / stale-part wipe are local-filesystem; an object-store
+    # URI would silently break both, so it must fail loudly at construction
+    with pytest.raises(ValueError, match="local"):
+        KGPipeline(spark, "s3a://bucket/out")
+
+
+def test_triple_tuples_schema_driven_labels(spark):
+    # custom gazetteers must not be forced through the protein/disease
+    # hardcoding: cross-label pairs orient toward a declared edge
+    # input_label, undeclared pairs get a deterministic label-alphabetical
+    # orientation (and then surface in missing-type metrics downstream)
+    from biocypher_spark.pipeline import build_triple_tuples
+
+    linked = spark.createDataFrame(
+        [
+            # drug+gene co-occur in turn 1; schema declares gene_drug
+            ("c1", 1, "drug", "aspirin", "aspirin"),
+            ("c1", 1, "gene", "brca1", "brca1"),
+            # two genes co-occur in turn 2 (same-label, undeclared)
+            ("c1", 2, "gene", "brca1", "brca1"),
+            ("c1", 2, "gene", "tp53", "tp53"),
+        ],
+        "conv_id string, turn_idx int, input_label string, canonical_id string, surface string",
+    )
+    _, edges = build_triple_tuples(linked, edge_labels={"gene_drug"})
+    rows = {r["input_label"]: r for r in edges.collect()}
+    assert set(rows) == {"gene_drug", "gene_gene"}
+    # declared orientation wins: gene is src even though 'aspirin' < 'brca1'
+    assert rows["gene_drug"]["src"] == "gene:brca1"
+    assert rows["gene_drug"]["tgt"] == "drug:aspirin"
+    # same-label pair emitted (was silently dropped), canonical-id order
+    assert rows["gene_gene"]["src"] == "gene:brca1"
+    assert rows["gene_gene"]["tgt"] == "gene:tp53"
+
+
+def test_triple_tuples_default_labels_unchanged(spark):
+    # the default schema still yields exactly the protein-first shapes
+    from biocypher_spark.pipeline import build_triple_tuples
+
+    linked = spark.createDataFrame(
+        [
+            ("c1", 1, "disease", "dis1", "DIS1"),
+            ("c1", 1, "protein", "prot9", "PROT9"),
+            ("c1", 2, "protein", "prot1", "PROT1"),
+            ("c1", 2, "protein", "prot2", "PROT2"),
+        ],
+        "conv_id string, turn_idx int, input_label string, canonical_id string, surface string",
+    )
+    _, edges = build_triple_tuples(linked)
+    rows = {r["input_label"]: r for r in edges.collect()}
+    assert rows["protein_disease"]["src"] == "protein:prot9"
+    assert rows["protein_disease"]["tgt"] == "disease:dis1"
+    assert rows["protein_protein"]["src"] == "protein:prot1"
