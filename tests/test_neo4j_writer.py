@@ -214,3 +214,11 @@ def test_batch_boundary_cases(spark, bw, tmp_path):
     n0 = sum(1 for _ in open(tmp_path / "Protein-part000.csv"))
     n1 = sum(1 for _ in open(tmp_path / "Protein-part001.csv"))
     assert (n0, n1) == (10000, 4)
+
+
+def test_object_store_output_dir_rejected(spark, schema_path):
+    # part-file glob/rename and neo4j-admin import are local-filesystem;
+    # an object-store URI must fail at construction, not corrupt silently
+    translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    with pytest.raises(ValueError, match="local"):
+        Neo4jBatchWriter(spark, translator, "s3a://bucket/out")
