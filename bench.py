@@ -10,6 +10,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import gc
 import glob
 import json
 import os
@@ -433,6 +434,16 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = best
+        # release dead localCheckpoint pins between queries: each run pins
+        # fresh sig/band/pair tables whose blocks outlive the loop iteration
+        # until driver GC triggers the ContextCleaner — by the tail of the
+        # suite dozens of dead pinned frames crowd the unified memory pool
+        # and late queries absorb eviction/spill churn that has nothing to
+        # do with their own plans (observed: a 3.4s-warm query measuring
+        # 14.7s in-suite). Explicit gc on both sides makes the measurement
+        # per-query, matching how operators run in production jobs.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # in-session pipeline figure at a moderate size; the scaling section
     # below carries the full-size N vs 4N evidence. First run is the

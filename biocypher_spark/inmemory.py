@@ -156,7 +156,9 @@ class PandasCSVWriter:
     ``to_csv``; here each type coalesces to one Spark CSV part renamed)."""
 
     def __init__(self, output_directory: str):
-        self.outdir = output_directory
+        from .writer.base import require_local_dir
+
+        self.outdir = require_local_dir(output_directory, "pandas-CSV")
         os.makedirs(self.outdir, exist_ok=True)
 
     def write(self, kg: dict[str, DataFrame]) -> list[str]:

@@ -126,25 +126,13 @@ class KGPipeline:
         link_threshold: float = 0.35,
         use_pandas_extraction: bool = True,
     ):
-        import re as _re
+        from .writer.base import require_local_dir
 
         # the CSV batch layout, resume markers, and stale-part wipe all go
         # through the LOCAL filesystem (os.path/glob), mirroring the
         # reference: neo4j-admin import itself consumes a local directory.
-        # An object-store URI would make Spark write one place while the
-        # resume/wipe logic checks another — silent resume breakage and
-        # duplicate part files — so refuse it up front.
-        if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", output_directory) and not output_directory.startswith(
-            "file://"
-        ):
-            raise ValueError(
-                f"output_directory {output_directory!r} is not a local/shared-POSIX path: "
-                "the batch-writer layout and checkpoint markers are local-filesystem "
-                "(neo4j-admin import reads a local directory); mount the storage or "
-                "write locally and sync"
-            )
         self.spark = spark
-        self.outdir = output_directory
+        self.outdir = require_local_dir(output_directory, "pipeline batch")
         self.run_dir = run_dir or os.path.join(output_directory, "_run")
         os.makedirs(self.run_dir, exist_ok=True)
         if schema_config_path == DEFAULT_SCHEMA:

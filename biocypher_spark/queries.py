@@ -610,8 +610,12 @@ def _simhash_near_dup_oracle(max_hamming: int = 3, bands: int = 4) -> str:
         nb = f"strpos('0123456789abcdef', substr(b.h, {k + 1}, 1)) - 1"
         ham_terms.append(f"CAST(substr('0112122312232334', xor({na}, {nb}) + 1, 1) AS INT)")
     ham = " + ".join(ham_terms)
+    # tokenless docs (null/empty/whitespace-only text) are excluded from
+    # pairing, mirroring simhash_near_dup: each such boilerplate class
+    # shares one constant simhash -> one degenerate quadratic bucket
     return f"""
-    WITH sh AS (SELECT doc_id, {_simhash64_sql()} AS h FROM documents),
+    WITH sh AS (SELECT doc_id, {_simhash64_sql()} AS h FROM documents
+                WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
     bands AS ({band_rows}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

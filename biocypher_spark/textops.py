@@ -486,11 +486,21 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
     Hamming distance is computed nibble-wise with a popcount lookup string —
     identical expression in Spark and DuckDB, no bit_count dependency.
     Returns (doc_a, doc_b, hamming).
+
+    Docs with no non-empty token (null / empty / whitespace-only text) are
+    EXCLUDED, mirroring :func:`minhash_band_candidates`'s empty-set
+    exclusion: each such boilerplate class hashes to one constant simhash
+    (the null sentinel to all-zero, whitespace-only to md5('')'s votes), so
+    at crawl scale millions of them would land in a single degenerate
+    bucket and the candidate self-join — and the true pair set itself —
+    would be quadratic in their count. A contentless doc has no meaningful
+    Hamming similarity anyway; catch those with exact dedup first.
     """
     # the 64-bit hash is expensive (64 vote aggregates per row) and consumed
     # by 2 + bands branches below — materialize the tiny (doc_id, hash) table
     # once instead of recomputing it per branch
-    sh = materialize(simhash64(df, text_col))
+    nonempty = df.filter(F.exists(tokens(F.col(text_col)), lambda t: t != ""))
+    sh = materialize(simhash64(nonempty, text_col))
     width = 16 // bands  # hex chars per band
     band_structs = [
         F.struct(F.lit(b).alias("band"), F.substring("simhash64", b * width + 1, width).alias("bkey"))

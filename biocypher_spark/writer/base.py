@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 from typing import Optional
 
@@ -40,6 +41,37 @@ LONG_ARRAY = {"int[]", "integer[]", "long[]"}
 DOUBLE_ARRAY = {"float[]", "double[]"}
 BOOL_ARRAY = {"bool[]", "boolean[]"}
 STR_ARRAY = {"str[]", "string[]"}
+
+
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def require_local_dir(path: str, layout: str) -> str:
+    """Validate an output directory for writers whose layout passes through
+    driver-side ``os.path``/``glob`` (part-file renames, header writes,
+    resume markers — and, for the admin-import layout, ``neo4j-admin``
+    itself reads a local directory).
+
+    Any URI scheme is refused, **including** ``file://``: Spark resolves
+    URIs through Hadoop filesystems while the driver-side code treats the
+    string literally (``os.makedirs('file:///x')`` creates ``./file:/x``
+    and ``glob`` over the URI matches nothing), so the job would write one
+    place and the rename/resume pass would read another — an empty or
+    duplicated layout with no error. For ``file://`` URIs pass the plain
+    POSIX path; for object stores, write to a mounted shared filesystem
+    (or locally) and sync afterwards.
+    """
+    if _URI_SCHEME.match(path):
+        raise ValueError(
+            f"{layout} output_directory {path!r} is not a plain local/shared-POSIX "
+            "path: the layout is written through driver-side os.path/glob "
+            "(part renames, headers, resume markers), which treats a URI as a "
+            "literal file name while Spark resolves it through Hadoop — writes "
+            "and reads would land in different places. Pass the plain path "
+            "(strip file://); for object stores, write to a mounted shared "
+            "filesystem and sync."
+        )
+    return path
 
 
 def quote_expr(col: Column, quote: str, mode: str = "double") -> Column:

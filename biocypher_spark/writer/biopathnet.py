@@ -35,9 +35,11 @@ def _append_lines(df: DataFrame, outdir: str, filename: str) -> None:
 
 class BioPathNetWriter:
     def __init__(self, spark, translator, output_directory: str):
+        from .base import require_local_dir
+
         self.spark = spark
         self.translator = translator
-        self.outdir = output_directory
+        self.outdir = require_local_dir(output_directory, "BioPathNet")
         os.makedirs(self.outdir, exist_ok=True)
 
     def write_nodes(self, nodes: DataFrame) -> bool:

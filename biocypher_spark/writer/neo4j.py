@@ -42,6 +42,7 @@ from .base import (
     infer_prop_types,
     node_line_expr,
     pascal_file_label,
+    require_local_dir,
     write_part_files,
 )
 
@@ -108,21 +109,7 @@ class Neo4jBatchWriter:
     ):
         self.spark = spark
         self.translator = translator
-        # part-file collection (glob), renaming, and header writes all go
-        # through the local filesystem — as does neo4j-admin import itself,
-        # which consumes a local directory. An object-store URI would write
-        # Spark output one place while the glob/rename pass reads another,
-        # so refuse it up front (same guard as KGPipeline).
-        import re as _re
-
-        if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", output_directory) and not output_directory.startswith(
-            "file://"
-        ):
-            raise ValueError(
-                f"output_directory {output_directory!r} is not a local/shared-POSIX path: "
-                "the admin-import batch layout is written through the local filesystem"
-            )
-        self.outdir = output_directory
+        self.outdir = require_local_dir(output_directory, "admin-import")
         os.makedirs(self.outdir, exist_ok=True)
         self.delim = delimiter
         self.adelim = array_delimiter

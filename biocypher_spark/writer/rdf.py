@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..model import json_pystr
 from ..naming import sentence_to_pascal
-from .base import pascal_file_label
+from .base import pascal_file_label, require_local_dir
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 RDF_SUBJECT = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject>"
@@ -105,7 +105,7 @@ class RDFWriter:
             )
         self.spark = spark
         self.translator = translator
-        self.outdir = output_directory
+        self.outdir = require_local_dir(output_directory, "RDF")
         self.ns = namespace
         self.trig = rdf_format in TRIG_FORMATS
         self.turtle = rdf_format in TURTLE_FORMATS or self.trig

@@ -218,7 +218,29 @@ def test_batch_boundary_cases(spark, bw, tmp_path):
 
 def test_object_store_output_dir_rejected(spark, schema_path):
     # part-file glob/rename and neo4j-admin import are local-filesystem;
-    # an object-store URI must fail at construction, not corrupt silently
+    # an object-store URI must fail at construction, not corrupt silently.
+    # file:// must fail too: Spark resolves it to the real path while
+    # os.makedirs/glob treat it literally (makedirs('file:///x') creates
+    # './file:/x'), so the layout would be written one place and
+    # renamed/read from another
     translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
-    with pytest.raises(ValueError, match="local"):
-        Neo4jBatchWriter(spark, translator, "s3a://bucket/out")
+    for bad in ("s3a://bucket/out", "file:///mnt/out"):
+        with pytest.raises(ValueError, match="local"):
+            Neo4jBatchWriter(spark, translator, bad)
+
+
+def test_uri_output_dir_rejected_across_writers(spark, schema_path):
+    # every writer whose layout goes Spark-write -> driver-side glob/rename
+    # shares the same guard (RDF, BioPathNet, pandas-CSV)
+    from biocypher_spark.inmemory import PandasCSVWriter
+    from biocypher_spark.writer.biopathnet import BioPathNetWriter
+    from biocypher_spark.writer.rdf import RDFWriter
+
+    translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    for bad in ("s3a://bucket/out", "file:///mnt/out"):
+        with pytest.raises(ValueError, match="local"):
+            RDFWriter(spark, translator, bad)
+        with pytest.raises(ValueError, match="local"):
+            BioPathNetWriter(spark, translator, bad)
+        with pytest.raises(ValueError, match="local"):
+            PandasCSVWriter(bad)

@@ -176,6 +176,10 @@ def test_object_store_output_dir_rejected(spark):
     # URI would silently break both, so it must fail loudly at construction
     with pytest.raises(ValueError, match="local"):
         KGPipeline(spark, "s3a://bucket/out")
+    # file:// is equally broken for the driver-side markers/globs: Spark
+    # resolves the URI, os.path/glob treat it as a literal relative path
+    with pytest.raises(ValueError, match="local"):
+        KGPipeline(spark, "file:///mnt/out")
 
 
 def test_triple_tuples_schema_driven_labels(spark):

@@ -106,6 +106,21 @@ def test_simhash_keeps_null_and_empty_text_rows(spark):
     assert rows64[2] == "0" * 16
 
 
+def test_simhash_near_dup_excludes_tokenless_docs(spark):
+    """Null / empty / whitespace-only docs each hash to one constant
+    simhash; left in the banding they form a single degenerate bucket whose
+    self-join (and true pair set) is quadratic in their count. They carry
+    no content to be near-duplicate OF, so they are excluded from pairing —
+    mirroring minhash_band_candidates' empty-set exclusion."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "   "), (6, "real content here"),
+         (7, "real content here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dup(docs).collect()}
+    assert pairs == {(6, 7)}  # no null-null / empty-empty / ws-ws pairs
+
+
 def test_exact_dedup_hashed_key_equivalent(docs):
     by_hash = {(r["rep_id"], r["n"]) for r in exact_dedup(docs).collect()}
     by_text = {
