@@ -228,39 +228,81 @@ def stream_kg(
                 return _json.load(fh)
         return {"last_batch": -1, "part_files": []}
 
-    def _seen_generations(attr: str) -> dict[int, str]:
+    def _seen_generations(prefix: str) -> dict[int, str]:
         out = {}
-        for d in glob.glob(os.path.join(meta_dir, f"{attr}_b*")):
+        for d in glob.glob(os.path.join(meta_dir, f"{prefix}_b*")):
             try:
                 out[int(os.path.basename(d).rsplit("_b", 1)[1])] = d
             except ValueError:
                 continue
         return out
 
+    # the three seen-id frames (node ids, edge keys, rel-as-node keys) are
+    # persisted as ONE combined parquet generation per committed batch with
+    # a `_kind` discriminator — one durable write + one read per micro-batch
+    # instead of three, which is the fixed-latency floor of every
+    # micro-batch at cluster scale. Normalized schema: (_kind, _klabel, _key)
+    # with _klabel null for the node frame (its dedup key is id-only).
+    def _seen_cols(attr: str, df: DataFrame) -> DataFrame:
+        part = df.filter(F.col("_kind") == attr) if "_kind" in df.columns else df
+        return part.select("_key") if attr == "_seen_nodes" else part.select("_klabel", "_key")
+
     def _restore_seen(last_batch: int) -> None:
         """Load the newest seen-id generation <= the committed batch;
         discard generations written by a crashed, uncommitted attempt."""
+        gens = _seen_generations("_seen")
+        for b, d in list(gens.items()):
+            if b > last_batch:
+                shutil.rmtree(d, ignore_errors=True)
+                del gens[b]
+        if gens:
+            combined = spark.read.parquet(gens[max(gens)])
+            for attr in _SEEN_ATTRS:
+                part = _seen_cols(attr, combined)
+                # an attr with zero rows stays None: anti-join vs an empty
+                # frame is the identity, and None skips the join entirely
+                if part.limit(1).count() > 0:
+                    setattr(writer, attr, part)
+            return
+        # legacy layout (pre-combined): one parquet dir per attr — an output
+        # dir written by an older engine restarts without losing dedup state
         for attr in _SEEN_ATTRS:
-            gens = _seen_generations(attr)
-            for b, d in list(gens.items()):
+            old = _seen_generations(attr)
+            for b, d in list(old.items()):
                 if b > last_batch:
                     shutil.rmtree(d, ignore_errors=True)
-                    del gens[b]
-            if gens:
-                setattr(writer, attr, spark.read.parquet(gens[max(gens)]))
+                    del old[b]
+            if old:
+                setattr(writer, attr, spark.read.parquet(old[max(old)]))
 
     def _persist_seen(batch_id: int) -> None:
+        frames = []
         for attr in _SEEN_ATTRS:
             df = getattr(writer, attr)
             if df is None:
                 continue
-            new = os.path.join(meta_dir, f"{attr}_b{batch_id}")
-            df.write.mode("overwrite").parquet(new)
-            setattr(writer, attr, spark.read.parquet(new))
+            klabel = F.col("_klabel") if "_klabel" in df.columns else F.lit(None).cast("string").alias("_klabel")
+            frames.append(df.select(F.lit(attr).alias("_kind"), klabel, "_key"))
+        if not frames:
+            return  # no writer state yet (initial empty batches): nothing to roll
+        combined = frames[0]
+        for other in frames[1:]:
+            combined = combined.unionByName(other)
+        # the union stacks the three frames' partitions (3x32 locally);
+        # coalesce (shuffle-free) trims the write back to cluster width —
+        # on a wide cluster whose state is already >= defaultParallelism
+        # partitions this is a no-op, never a bottleneck
+        combined = combined.coalesce(spark.sparkContext.defaultParallelism)
+        new = os.path.join(meta_dir, f"_seen_b{batch_id}")
+        combined.write.mode("overwrite").parquet(new)
+        back = spark.read.parquet(new)
+        for attr in _SEEN_ATTRS:
+            if getattr(writer, attr) is not None:
+                setattr(writer, attr, _seen_cols(attr, back))
 
     def _drop_old_seen(batch_id: int) -> None:
-        for attr in _SEEN_ATTRS:
-            for b, d in _seen_generations(attr).items():
+        for prefix in ("_seen",) + _SEEN_ATTRS:
+            for b, d in _seen_generations(prefix).items():
                 if b < batch_id:
                     shutil.rmtree(d, ignore_errors=True)
 
@@ -322,10 +364,11 @@ def stream_kg(
             # writer issues 3-4 actions per side, and an unpinned translate
             # (broadcast mapping join + label case conversion) re-executes on
             # every one of them (profiled 56s -> 44s on the 500k-turn drain)
-            # pin the tuple frames as well: the three translated pins below
-            # all re-derive from them, and an unpinned tuple frame re-runs
-            # the link join + groupBy shuffle once per translated pin
-            node_tuples = materialize(node_tuples)
+            # pin edge_tuples as well: BOTH the te.edges and te.ran_nodes
+            # pins below re-derive from it, and unpinned it would re-run the
+            # link join + groupBy shuffle once per translated pin.
+            # node_tuples is consumed exactly once (the tn.nodes pin), so a
+            # pin there would be a pure extra job
             edge_tuples = materialize(edge_tuples)
             tn = translator.translate_nodes(node_tuples)
             te = translator.translate_edges(edge_tuples)

@@ -209,7 +209,7 @@ def test_stream_kg_crash_replay_idempotent(spark, tmp_path):
     parts_before = sorted(os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*-part*.csv")))
     assert committed["part_files"] == parts_before and committed["last_batch"] >= 0
     # seen-id generations persisted for restart recovery
-    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_b*"))
 
     # simulate a crashed attempt: a part file NOT in the committed inventory
     stale = os.path.join(outdir, "Protein-part900.csv")
@@ -247,7 +247,7 @@ def test_stream_kg_empty_batch_preserves_seen_state(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     generate_transcripts(spark, 300, partitions=1).write.mode("overwrite").parquet(indir)
     stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
-    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+    assert glob.glob(os.path.join(outdir, "_stream_meta", "_seen_b*"))
 
     # batch with NO matches (text contains no PROT/DIS surfaces)
     blank = [("cx", 0, "user", "nothing relevant here", None, datetime.datetime(2024, 1, 1))]
@@ -255,7 +255,7 @@ def test_stream_kg_empty_batch_preserves_seen_state(spark, tmp_path):
         blank, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     ).write.mode("append").parquet(indir)
     stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
-    gens = glob.glob(os.path.join(outdir, "_stream_meta", "_seen_nodes_b*"))
+    gens = glob.glob(os.path.join(outdir, "_stream_meta", "_seen_b*"))
     assert gens, "empty batch wiped the seen-id state"
 
     # the same entities arriving again must still dedup (state survived)
@@ -282,3 +282,51 @@ def test_stream_kg_refuses_swapped_checkpoint(spark, tmp_path):
     stream_kg(spark, indir, outdir, str(tmp_path / "ckptA"), max_files_per_trigger=4).awaitTermination(300)
     with _pytest.raises(ValueError, match="different stream checkpoint"):
         stream_kg(spark, indir, outdir, str(tmp_path / "ckptB"))
+
+
+def test_stream_kg_restores_legacy_seen_layout(spark, tmp_path):
+    """An output dir whose seen-id state was persisted by the older
+    one-parquet-per-attr layout must restart WITHOUT losing cross-batch
+    dedup (the combined `_seen_b{id}` generation is the current format;
+    the per-attr `_seen_nodes_b{id}` dirs are read as a fallback)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    generate_transcripts(spark, 300, partitions=1).write.mode("overwrite").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+
+    # rewrite the committed combined generation into the legacy layout
+    meta = os.path.join(outdir, "_stream_meta")
+    combined_dirs = glob.glob(os.path.join(meta, "_seen_b*"))
+    assert combined_dirs
+    for d in combined_dirs:
+        bid = os.path.basename(d).rsplit("_b", 1)[1]
+        combined = spark.read.parquet(d)
+        for attr, cols in (
+            ("_seen_nodes", ["_key"]),
+            ("_seen_edges", ["_klabel", "_key"]),
+            ("_seen_ran", ["_klabel", "_key"]),
+        ):
+            part = combined.filter(F.col("_kind") == attr).select(*cols)
+            if part.limit(1).count() > 0:
+                part.write.mode("overwrite").parquet(os.path.join(meta, f"{attr}_b{bid}"))
+    for d in combined_dirs:
+        shutil.rmtree(d)
+
+    # the same entities arriving again must still dedup through the
+    # legacy-restored state (no duplicate node ids across all parts)
+    generate_transcripts(spark, 300, partitions=1).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+    seen: set = set()
+    for p in glob.glob(os.path.join(outdir, "Protein-part*.csv")):
+        for line in open(p):
+            nid = line.split(";")[0]
+            assert nid not in seen, f"duplicate {nid} after legacy restore"
+            seen.add(nid)
