@@ -269,7 +269,12 @@ class Neo4jBatchWriter:
             batch_first = batch_first.join(seen, key_cols, "left_anti")
         new_keys = batch_first.select(*key_cols).persist()
         new_keys.count()
-        setattr(self, seen_attr, new_keys if seen is None else seen.unionByName(new_keys).distinct().persist())
+        # the union needs NO distinct: new_keys is key-unique (row_number==1
+        # keeps one row per key) and disjoint from seen (the anti-join
+        # above), and seen is distinct by this same induction — a distinct
+        # here would re-shuffle the ENTIRE cumulative seen state on every
+        # call, O(all ids ever written) per micro-batch at stream scale
+        setattr(self, seen_attr, new_keys if seen is None else seen.unionByName(new_keys).persist())
         return batch_first
 
     # -- nodes ----------------------------------------------------------------
