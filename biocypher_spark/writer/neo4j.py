@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..dedup import edge_dedup_key
+from ..materialize import materialize
 from ..model import SEQ
 from ..naming import sentence_to_pascal
 from ..translate import SparkTranslator, TranslatedEdges
@@ -146,6 +147,7 @@ class Neo4jBatchWriter:
         self._seen_ran: Optional[DataFrame] = None  # accumulated (label, node_id) frame
         self.duplicate_nodes: Optional[DataFrame] = None
         self.duplicate_edges: Optional[DataFrame] = None
+        self._dup_chain_len: dict[str, int] = {}  # union layers since last collapse
 
     # -- label strings ------------------------------------------------------
 
@@ -241,6 +243,29 @@ class Neo4jBatchWriter:
 
     # -- dedup bookkeeping ---------------------------------------------------
 
+    # collapse cadence for the duplicate-metrics union chains: every
+    # _DUP_COLLAPSE appended layers the frame is distinct-ed and pinned.
+    # Without this a long-running stream (thousands of micro-batch writer
+    # calls) accumulates an ever-deeper lazy union plan whose eventual
+    # evaluation would pay one shuffle per appended distinct layer — and
+    # whose references keep every old batch's pinned frames alive
+    _DUP_COLLAPSE = 16
+
+    def _note_dups(self, attr: str, dups: DataFrame) -> None:
+        """Append a (kind, label, dup_id) batch to a duplicate-metrics frame.
+
+        Plain union per call (set semantics are applied lazily by the
+        ``get_duplicate_*`` accessors and eagerly at each collapse) — a
+        distinct per call would add a shuffle layer per writer call to the
+        eventual evaluation plan."""
+        prev = getattr(self, attr)
+        merged = dups if prev is None else prev.unionByName(dups)
+        self._dup_chain_len[attr] = self._dup_chain_len.get(attr, 0) + 1
+        if self._dup_chain_len[attr] >= self._DUP_COLLAPSE:
+            merged = materialize(merged.distinct())
+            self._dup_chain_len[attr] = 0
+        setattr(self, attr, merged)
+
     def _dedup_against_seen(self, df: DataFrame, key_cols: list, seen_attr: str, kind: str, label_col: str) -> DataFrame:
         """First-wins within the batch + anti-join vs ids from earlier calls;
         replaces the reference's cross-call in-memory seen-sets. Duplicate
@@ -253,8 +278,7 @@ class Neo4jBatchWriter:
             .distinct()
         )
         attr = "duplicate_nodes" if kind == "node" else "duplicate_edges"
-        prev = getattr(self, attr)
-        setattr(self, attr, dups if prev is None else prev.unionByName(dups).distinct())
+        self._note_dups(attr, dups)
         batch_first = ranked.filter(F.col("_rn") == 1).drop("_rn")
         if not self.track_seen:
             return batch_first
@@ -265,7 +289,7 @@ class Neo4jBatchWriter:
                 .select(F.lit(kind).alias("kind"), F.col(label_col).alias("label"), F.col(key_cols[-1]).alias("dup_id"))
                 .distinct()
             )
-            setattr(self, attr, getattr(self, attr).unionByName(cross_dups).distinct())
+            self._note_dups(attr, cross_dups)
             batch_first = batch_first.join(seen, key_cols, "left_anti")
         new_keys = batch_first.select(*key_cols).persist()
         new_keys.count()
@@ -525,7 +549,8 @@ class Neo4jBatchWriter:
     # -- duplicate reporting ----------------------------------------------------
 
     def get_duplicate_nodes(self):
-        return self.duplicate_nodes
+        # set semantics: per-call appends are plain unions (see _note_dups)
+        return None if self.duplicate_nodes is None else self.duplicate_nodes.distinct()
 
     def get_duplicate_edges(self):
-        return self.duplicate_edges
+        return None if self.duplicate_edges is None else self.duplicate_edges.distinct()

@@ -244,3 +244,18 @@ def test_uri_output_dir_rejected_across_writers(spark, schema_path):
             BioPathNetWriter(spark, translator, bad)
         with pytest.raises(ValueError, match="local"):
             PandasCSVWriter(bad)
+
+
+def test_duplicate_metrics_chain_collapses(spark, bw):
+    """The duplicate-metrics frames must not grow one lazy union layer per
+    writer call forever: every _DUP_COLLAPSE appends the chain is
+    distinct-ed and pinned, so a long-running stream's eventual metrics
+    evaluation pays a bounded plan, and set semantics still hold through
+    the accessors."""
+    rows = [("node", "protein", f"p{i % 7}") for i in range(3)]
+    df = spark.createDataFrame(rows, "kind string, label string, dup_id string")
+    for _ in range(2 * bw._DUP_COLLAPSE + 3):
+        bw._note_dups("duplicate_nodes", df)
+    assert bw._dup_chain_len["duplicate_nodes"] < bw._DUP_COLLAPSE
+    got = {(r["kind"], r["label"], r["dup_id"]) for r in bw.get_duplicate_nodes().collect()}
+    assert got == {("node", "protein", f"p{i}") for i in range(3)}
