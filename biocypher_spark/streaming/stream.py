@@ -175,10 +175,12 @@ def stream_kg(
       plus the part-file inventory; a replayed batch id <= the committed one
       is skipped outright, and part files NOT in the inventory (leftovers of
       a crashed attempt) are wiped before re-emitting.
-    - the writer's seen-id frames are persisted per committed batch
-      (``seen_*_b{id}`` parquet generations) and restored on restart, so a
-      process crash cannot reset cross-batch dedup; generations newer than
-      the committed marker (written but not committed) are discarded.
+    - the writer's three seen-id frames are persisted per committed batch
+      as ONE combined parquet generation (``_seen_b{id}``, a ``_kind``
+      discriminator column; the pre-combined per-attr layout is still
+      restored as a fallback) and reloaded on restart, so a process crash
+      cannot reset cross-batch dedup; generations newer than the committed
+      marker (written but not committed) are discarded.
 
     Canonicalization note: cross-batch consistency requires the surface ->
     canonical map to be batch-independent. Pass a precomputed ``mapping``
@@ -339,12 +341,12 @@ def stream_kg(
         for f in glob.glob(os.path.join(output_directory, "*-part*.csv")):
             if os.path.basename(f) not in committed:
                 os.remove(f)
-        # plain batch DF inside foreachBatch. localCheckpoint materializes
-        # the mapInPandas extraction ONCE per micro-batch: the writer path
-        # downstream runs several independent actions (seen-dedup counts,
-        # first-row collects, the part write), each of which would
-        # otherwise re-run the extraction over the whole batch (measured
-        # 5-7 recomputes per batch; the dominant cost of the stream)
+        # plain batch DF inside foreachBatch. Pin the extraction (the
+        # per-pattern regexp scans + union over the whole batch) ONCE per
+        # micro-batch: the writer path downstream runs several independent
+        # actions (seen-dedup counts, first-row collects, the part write),
+        # each of which would otherwise re-run it (measured 5-7 recomputes
+        # per batch; the dominant cost of the stream before pinning)
         mentions = materialize(stream_mentions(batch_df, pats))
         if mentions.limit(1).count() == 0:
             parts = state["part_files"]
@@ -354,21 +356,16 @@ def stream_kg(
             node_tuples, edge_tuples = build_triple_tuples(
                 linked, edge_labels=edge_input_labels(schema_mapping)
             )
-            # materialize the tiny TRANSLATED frames (distinct entities /
-            # edges of the batch) so the writer's several downstream actions
-            # per side (seen-dedup window + count, first-rows collect, part
-            # write, seen-state parquet) each start from a few hundred pinned
-            # rows instead of re-running the identity-mapping distinct + link
-            # join + groupBy + translate chains over the whole micro-batch.
-            # Pinning AFTER translate (not the tuple frames) matters: the
-            # writer issues 3-4 actions per side, and an unpinned translate
-            # (broadcast mapping join + label case conversion) re-executes on
-            # every one of them (profiled 56s -> 44s on the 500k-turn drain)
-            # pin edge_tuples as well: BOTH the te.edges and te.ran_nodes
-            # pins below re-derive from it, and unpinned it would re-run the
-            # link join + groupBy shuffle once per translated pin.
-            # node_tuples is consumed exactly once (the tn.nodes pin), so a
-            # pin there would be a pure extra job
+            # pin the tiny TRANSLATED frames (distinct entities / edges of
+            # the batch): the writer issues 3-4 actions per side (seen-dedup
+            # window + count, first-rows collect, part write, seen-state
+            # parquet), and an unpinned translate chain (identity-mapping
+            # distinct + link join + groupBy + broadcast mapping join +
+            # label case conversion) re-executes on every one of them
+            # (profiled 56s -> 44s on the 500k-turn drain). edge_tuples is
+            # pinned too because BOTH the te.edges and te.ran_nodes pins
+            # re-derive from it; node_tuples is consumed exactly once (the
+            # tn.nodes pin), so a pin there would be a pure extra job
             edge_tuples = materialize(edge_tuples)
             tn = translator.translate_nodes(node_tuples)
             te = translator.translate_edges(edge_tuples)
