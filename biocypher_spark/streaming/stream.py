@@ -278,6 +278,11 @@ def stream_kg(
                 setattr(writer, attr, spark.read.parquet(old[max(old)]))
 
     def _persist_seen(batch_id: int) -> None:
+        # the duplicate-metrics chains hold LAZY references to the seen
+        # generations that were live when their layers were appended; pin
+        # them (lineage cut) BEFORE _drop_old_seen deletes those dirs, or
+        # the next chain evaluation scans deleted files and kills the query
+        writer.collapse_duplicate_metrics()
         frames = []
         for attr in _SEEN_ATTRS:
             df = getattr(writer, attr)
@@ -296,7 +301,11 @@ def stream_kg(
         # partitions this is a no-op, never a bottleneck
         combined = combined.coalesce(spark.sparkContext.defaultParallelism)
         new = os.path.join(meta_dir, f"_seen_b{batch_id}")
-        combined.write.mode("overwrite").parquet(new)
+        # partitionBy keeps the single write job but gives each kind its
+        # own directory, so the three per-attr restore/dedup scans
+        # partition-prune instead of decoding the other kinds' row groups
+        # (the edges state typically dominates the cumulative size)
+        combined.write.mode("overwrite").partitionBy("_kind").parquet(new)
         back = spark.read.parquet(new)
         for attr in _SEEN_ATTRS:
             if getattr(writer, attr) is not None:

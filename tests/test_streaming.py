@@ -330,3 +330,32 @@ def test_stream_kg_restores_legacy_seen_layout(spark, tmp_path):
             nid = line.split(";")[0]
             assert nid not in seen, f"duplicate {nid} after legacy restore"
             seen.add(nid)
+
+
+def test_stream_kg_many_batches_survives_dup_chain_collapse(spark, tmp_path):
+    """9 mention-bearing micro-batches at maxFilesPerTrigger=1: enough
+    writer calls that the duplicate-metrics chains hit the 16-layer
+    collapse mid-stream. The chains' cross-batch layers lazily reference
+    superseded ``_seen_b{id}`` generations, which stream_kg deletes after
+    each commit — without the per-batch ``collapse_duplicate_metrics()``
+    pin the collapse scans deleted files and kills the query."""
+    import glob
+    import json
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    generate_transcripts(spark, 900, partitions=9).write.mode("overwrite").parquet(indir)
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    committed = json.load(open(os.path.join(outdir, "_stream_meta", "committed.json")))
+    assert committed["last_batch"] >= 8, f"stream died early at batch {committed['last_batch']}"
+    seen: set = set()
+    for p in glob.glob(os.path.join(outdir, "Protein-part*.csv")):
+        for line in open(p):
+            nid = line.split(";")[0]
+            assert nid not in seen
+            seen.add(nid)
