@@ -265,6 +265,7 @@ def stream_kg(
                 # frame is the identity, and None skips the join entirely
                 if part.limit(1).count() > 0:
                     setattr(writer, attr, part)
+            _point_dups_at(combined)
             return
         # legacy layout (pre-combined): one parquet dir per attr — an output
         # dir written by an older engine restarts without losing dedup state
@@ -277,32 +278,70 @@ def stream_kg(
             if old:
                 setattr(writer, attr, spark.read.parquet(old[max(old)]))
 
+    # the duplicate-metrics frames ride in the SAME combined generation as
+    # the seen-id state (kinds "_dup::duplicate_nodes"/"_dup::duplicate_edges",
+    # with the metrics' own node/edge discriminator in an extra ``_dup_kind``
+    # column that is null on seen rows). This serves two purposes at zero
+    # extra Spark jobs: (1) the chains built by _note_dups lazily reference
+    # seen generations that _drop_old_seen deletes after each commit — being
+    # written into the new generation evaluates them while those files still
+    # exist and repoints them at the new generation's files (the crash a
+    # per-batch eager collapse previously prevented at ~1 s/batch of extra
+    # actions); (2) the metrics tables become restart-durable alongside the
+    # dedup state instead of resetting to empty on resume.
+    _DUP_ATTRS = ("duplicate_nodes", "duplicate_edges")
+
+    def _point_dups_at(combined: DataFrame) -> None:
+        """Repoint the writer's duplicate-metrics frames at a generation."""
+        if "_dup_kind" not in combined.columns:
+            return  # legacy generation written before metrics rode along
+        for attr in _DUP_ATTRS:
+            part = combined.filter(F.col("_kind") == f"_dup::{attr}")
+            if part.limit(1).count() > 0:
+                setattr(writer, attr, part.select(
+                    F.col("_dup_kind").alias("kind"),
+                    F.col("_klabel").alias("label"),
+                    F.col("_key").alias("dup_id"),
+                ))
+                writer._dup_chain_len[attr] = 0
+
     def _persist_seen(batch_id: int) -> None:
-        # the duplicate-metrics chains hold LAZY references to the seen
-        # generations that were live when their layers were appended; pin
-        # them (lineage cut) BEFORE _drop_old_seen deletes those dirs, or
-        # the next chain evaluation scans deleted files and kills the query
-        writer.collapse_duplicate_metrics()
         frames = []
         for attr in _SEEN_ATTRS:
             df = getattr(writer, attr)
             if df is None:
                 continue
             klabel = F.col("_klabel") if "_klabel" in df.columns else F.lit(None).cast("string").alias("_klabel")
-            frames.append(df.select(F.lit(attr).alias("_kind"), klabel, "_key"))
+            frames.append(df.select(
+                F.lit(attr).alias("_kind"), klabel, "_key",
+                F.lit(None).cast("string").alias("_dup_kind"),
+            ))
         if not frames:
             return  # no writer state yet (initial empty batches): nothing to roll
+        for attr in _DUP_ATTRS:
+            df = getattr(writer, attr)
+            if df is None:
+                continue
+            # distinct at persist keeps set semantics durable and the
+            # rewritten-every-generation metrics rows bounded; the frames
+            # are duplicate OCCURRENCE keys, tiny next to the seen state
+            frames.append(df.distinct().select(
+                F.lit(f"_dup::{attr}").alias("_kind"),
+                F.col("label").alias("_klabel"),
+                F.col("dup_id").alias("_key"),
+                F.col("kind").alias("_dup_kind"),
+            ))
         combined = frames[0]
         for other in frames[1:]:
             combined = combined.unionByName(other)
-        # the union stacks the three frames' partitions (3x32 locally);
+        # the union stacks the frames' partitions (3-5 x 32 locally);
         # coalesce (shuffle-free) trims the write back to cluster width —
         # on a wide cluster whose state is already >= defaultParallelism
         # partitions this is a no-op, never a bottleneck
         combined = combined.coalesce(spark.sparkContext.defaultParallelism)
         new = os.path.join(meta_dir, f"_seen_b{batch_id}")
         # partitionBy keeps the single write job but gives each kind its
-        # own directory, so the three per-attr restore/dedup scans
+        # own directory, so the per-attr restore/dedup scans
         # partition-prune instead of decoding the other kinds' row groups
         # (the edges state typically dominates the cumulative size)
         combined.write.mode("overwrite").partitionBy("_kind").parquet(new)
@@ -310,6 +349,7 @@ def stream_kg(
         for attr in _SEEN_ATTRS:
             if getattr(writer, attr) is not None:
                 setattr(writer, attr, _seen_cols(attr, back))
+        _point_dups_at(back)
 
     def _drop_old_seen(batch_id: int) -> None:
         for prefix in ("_seen",) + _SEEN_ATTRS:

@@ -271,11 +271,12 @@ class Neo4jBatchWriter:
 
         The lazy chains built by :meth:`_note_dups` reference the ``seen``
         frames that were live at append time; a caller that DELETES the
-        storage behind superseded seen state (``stream_kg`` drops old
-        ``_seen_b{id}`` parquet generations after each committed batch)
-        MUST call this first, while that storage still exists — otherwise
-        the next chain evaluation (a collapse, or ``get_duplicate_*``)
-        scans deleted files and fails."""
+        storage behind superseded seen state MUST either call this first,
+        while that storage still exists, or persist the chains itself and
+        repoint the frames (``stream_kg`` writes them into its combined
+        per-batch state generation) — otherwise the next chain evaluation
+        (a collapse, or ``get_duplicate_*``) scans deleted files and
+        fails."""
         for attr in ("duplicate_nodes", "duplicate_edges"):
             df = getattr(self, attr)
             if df is not None:

@@ -359,3 +359,52 @@ def test_stream_kg_many_batches_survives_dup_chain_collapse(spark, tmp_path):
             nid = line.split(";")[0]
             assert nid not in seen
             seen.add(nid)
+
+
+def test_stream_kg_duplicate_metrics_survive_restart(spark, tmp_path):
+    """Duplicate-metrics frames ride in the combined per-batch state
+    generation (kinds ``_dup::duplicate_*``), so a restarted stream resumes
+    the metrics tables instead of resetting them to empty — and re-sending
+    the same input records every entity as a cross-batch duplicate."""
+    import glob
+
+    from biocypher_spark.streaming.stream import stream_kg
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    generate_transcripts(spark, 300, partitions=1).write.mode("overwrite").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+
+    # re-send the same turns: every node is now a cross-batch duplicate
+    generate_transcripts(spark, 300, partitions=1).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+
+    # a third stream_kg with NO new input restores the writer from the
+    # committed generation; the metrics noted by earlier processes must be
+    # there (pre-durability they lived only in the dead writer's memory)
+    from biocypher_spark.writer import neo4j as neo4j_mod
+
+    captured = {}
+    orig = neo4j_mod.Neo4jBatchWriter
+
+    class _Capture(orig):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            captured["writer"] = self
+
+    neo4j_mod.Neo4jBatchWriter = _Capture
+    try:
+        stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=4).awaitTermination(300)
+    finally:
+        neo4j_mod.Neo4jBatchWriter = orig
+
+    dup_nodes = captured["writer"].get_duplicate_nodes()
+    assert dup_nodes is not None
+    dup_ids = {r["dup_id"] for r in dup_nodes.collect()}
+    # every node id written in the first pass was duplicated by the replay
+    node_ids = set()
+    for p in glob.glob(os.path.join(outdir, "Protein-part*.csv")):
+        for line in open(p):
+            node_ids.add(line.split(";")[0])
+    assert node_ids and node_ids <= dup_ids
