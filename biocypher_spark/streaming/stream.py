@@ -448,6 +448,51 @@ def stream_kg(
     return builder.start()
 
 
+def read_stream_state(spark: SparkSession, output_directory: str) -> dict:
+    """Out-of-process readout of a stream's durable state/metrics tables.
+
+    Reads the newest COMMITTED combined state generation under
+    ``{output}/_stream_meta`` (written by :func:`stream_kg` once per
+    micro-batch) and returns row counts per kind: cumulative seen ids
+    (``_seen_nodes``/``_seen_edges``/``_seen_ran``) and the duplicate-metrics
+    tables (``duplicate_nodes``/``duplicate_edges``). Works on a live or
+    finished stream — the generation files are immutable once written and
+    the committed marker is atomic. Returns ``{}`` when no batch has
+    committed state yet (e.g. an all-empty input)."""
+    import glob
+    import json as _json
+    import os
+
+    meta_dir = os.path.join(output_directory, "_stream_meta")
+    committed_path = os.path.join(meta_dir, "committed.json")
+    if not os.path.exists(committed_path):
+        return {}
+    with open(committed_path) as fh:
+        last_batch = _json.load(fh)["last_batch"]
+    gens = {}
+    for d in glob.glob(os.path.join(meta_dir, "_seen_b*")):
+        try:
+            b = int(os.path.basename(d).rsplit("_b", 1)[1])
+        except ValueError:
+            continue
+        if b <= last_batch:
+            gens[b] = d
+    if not gens:
+        return {}
+    counts = {
+        r["_kind"]: r["n"]
+        for r in spark.read.parquet(gens[max(gens)])
+        .groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "seen_nodes": counts.get("_seen_nodes", 0),
+        "seen_edges": counts.get("_seen_edges", 0),
+        "seen_rel_as_node": counts.get("_seen_ran", 0),
+        "duplicate_nodes": counts.get("_dup::duplicate_nodes", 0),
+        "duplicate_edges": counts.get("_dup::duplicate_edges", 0),
+    }
+
+
 def conversation_sessions(transcripts: DataFrame, patterns: Optional[dict[str, str]] = None) -> DataFrame:
     """Stateful per-conversation aggregation (custom operator via
     ``applyInPandasWithState``): running turn count, mention count, and the

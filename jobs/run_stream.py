@@ -60,6 +60,8 @@ def main() -> None:
         query.awaitTermination()
     else:
         query.awaitTermination()
+        from biocypher_spark.streaming.stream import read_stream_state
+
         parts = sorted(glob.glob(os.path.join(args.output, "*-part*.csv")))
         print(
             json.dumps(
@@ -68,6 +70,9 @@ def main() -> None:
                     "labels": sorted({os.path.basename(p).split("-part")[0] for p in parts}),
                     "sec": round(time.time() - t0, 2),
                     "checkpoint": args.checkpoint,
+                    # durable state/metrics tables from the committed
+                    # generation: cumulative dedup state + duplicate counts
+                    "state": read_stream_state(spark, args.output),
                 }
             )
         )

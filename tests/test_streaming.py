@@ -408,3 +408,28 @@ def test_stream_kg_duplicate_metrics_survive_restart(spark, tmp_path):
         for line in open(p):
             node_ids.add(line.split(";")[0])
     assert node_ids and node_ids <= dup_ids
+
+
+def test_read_stream_state_counts(spark, tmp_path):
+    """read_stream_state reports the committed generation's cumulative
+    seen-id and duplicate-metrics counts out-of-process (no writer handle),
+    and returns {} before any batch has committed state."""
+    from biocypher_spark.streaming.stream import read_stream_state, stream_kg
+
+    outdir = str(tmp_path / "kg")
+    assert read_stream_state(spark, outdir) == {}
+
+    indir = str(tmp_path / "in")
+    generate_transcripts(spark, 300, partitions=1).write.mode("overwrite").parquet(indir)
+    stream_kg(spark, indir, outdir, str(tmp_path / "ckpt"), max_files_per_trigger=4).awaitTermination(300)
+    first = read_stream_state(spark, outdir)
+    assert first["seen_nodes"] > 0 and first["seen_edges"] > 0
+    assert first["duplicate_nodes"] == 0 or first["duplicate_nodes"] < first["seen_nodes"]
+
+    # replaying the same turns: seen counts unchanged, every node a duplicate
+    generate_transcripts(spark, 300, partitions=1).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, str(tmp_path / "ckpt"), max_files_per_trigger=4).awaitTermination(300)
+    second = read_stream_state(spark, outdir)
+    assert second["seen_nodes"] == first["seen_nodes"]
+    assert second["seen_edges"] == first["seen_edges"]
+    assert second["duplicate_nodes"] >= first["seen_nodes"]
