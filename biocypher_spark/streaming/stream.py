@@ -292,12 +292,22 @@ def stream_kg(
     _DUP_ATTRS = ("duplicate_nodes", "duplicate_edges")
 
     def _point_dups_at(combined: DataFrame) -> None:
-        """Repoint the writer's duplicate-metrics frames at a generation."""
+        """Repoint the writer's duplicate-metrics frames at a generation.
+
+        MUST be unconditional for a frame the writer already holds: even an
+        all-EMPTY duplicate frame is a lazy union chain referencing the
+        superseded seen generations (_note_dups appends the cross-batch
+        layer whether or not it has rows), and leaving it un-repointed lets
+        _drop_old_seen delete files the next evaluation still reads — the
+        duplicate-free-stream variant of the crash the ride-along persist
+        exists to prevent. Only a frame the writer does NOT hold (the
+        restore path's fresh writer) keeps its None when the generation has
+        no rows for it, preserving "no metrics yet" semantics."""
         if "_dup_kind" not in combined.columns:
             return  # legacy generation written before metrics rode along
         for attr in _DUP_ATTRS:
             part = combined.filter(F.col("_kind") == f"_dup::{attr}")
-            if part.limit(1).count() > 0:
+            if getattr(writer, attr) is not None or part.limit(1).count() > 0:
                 setattr(writer, attr, part.select(
                     F.col("_dup_kind").alias("kind"),
                     F.col("_klabel").alias("label"),
@@ -469,28 +479,48 @@ def read_stream_state(spark: SparkSession, output_directory: str) -> dict:
         return {}
     with open(committed_path) as fh:
         last_batch = _json.load(fh)["last_batch"]
-    gens = {}
-    for d in glob.glob(os.path.join(meta_dir, "_seen_b*")):
-        try:
-            b = int(os.path.basename(d).rsplit("_b", 1)[1])
-        except ValueError:
-            continue
-        if b <= last_batch:
-            gens[b] = d
-    if not gens:
+
+    def _committed_gens(prefix: str) -> dict[int, str]:
+        out = {}
+        for d in glob.glob(os.path.join(meta_dir, f"{prefix}_b*")):
+            try:
+                b = int(os.path.basename(d).rsplit("_b", 1)[1])
+            except ValueError:
+                continue
+            if b <= last_batch:
+                out[b] = d
+        return out
+
+    gens = _committed_gens("_seen")
+    if gens:
+        counts = {
+            r["_kind"]: r["n"]
+            for r in spark.read.parquet(gens[max(gens)])
+            .groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return {
+            "seen_nodes": counts.get("_seen_nodes", 0),
+            "seen_edges": counts.get("_seen_edges", 0),
+            "seen_rel_as_node": counts.get("_seen_ran", 0),
+            "duplicate_nodes": counts.get("_dup::duplicate_nodes", 0),
+            "duplicate_edges": counts.get("_dup::duplicate_edges", 0),
+        }
+    # legacy layout (one parquet dir per attr, pre-combined engine): the
+    # dedup state stream_kg would restore from is real — report it.
+    # Duplicate metrics were never persisted by that engine: 0 by fact.
+    out = {}
+    for attr, key in (
+        ("_seen_nodes", "seen_nodes"),
+        ("_seen_edges", "seen_edges"),
+        ("_seen_ran", "seen_rel_as_node"),
+    ):
+        old = _committed_gens(attr)
+        out[key] = spark.read.parquet(old[max(old)]).count() if old else 0
+    if not any(out.values()):
         return {}
-    counts = {
-        r["_kind"]: r["n"]
-        for r in spark.read.parquet(gens[max(gens)])
-        .groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    return {
-        "seen_nodes": counts.get("_seen_nodes", 0),
-        "seen_edges": counts.get("_seen_edges", 0),
-        "seen_rel_as_node": counts.get("_seen_ran", 0),
-        "duplicate_nodes": counts.get("_dup::duplicate_nodes", 0),
-        "duplicate_edges": counts.get("_dup::duplicate_edges", 0),
-    }
+    out["duplicate_nodes"] = 0
+    out["duplicate_edges"] = 0
+    return out
 
 
 def conversation_sessions(transcripts: DataFrame, patterns: Optional[dict[str, str]] = None) -> DataFrame:

@@ -266,22 +266,12 @@ class Neo4jBatchWriter:
             self._dup_chain_len[attr] = 0
         setattr(self, attr, merged)
 
-    def collapse_duplicate_metrics(self) -> None:
-        """Eagerly pin both duplicate-metrics frames and cut their lineage.
-
-        The lazy chains built by :meth:`_note_dups` reference the ``seen``
-        frames that were live at append time; a caller that DELETES the
-        storage behind superseded seen state MUST either call this first,
-        while that storage still exists, or persist the chains itself and
-        repoint the frames (``stream_kg`` writes them into its combined
-        per-batch state generation) — otherwise the next chain evaluation
-        (a collapse, or ``get_duplicate_*``) scans deleted files and
-        fails."""
-        for attr in ("duplicate_nodes", "duplicate_edges"):
-            df = getattr(self, attr)
-            if df is not None:
-                setattr(self, attr, materialize(df.distinct()))
-                self._dup_chain_len[attr] = 0
+    # NOTE for callers that DELETE the storage behind superseded seen
+    # state: the lazy chains built by _note_dups reference the seen frames
+    # live at append time, so persist the chains and repoint the
+    # duplicate_* frames BEFORE deleting (stream_kg writes them into its
+    # combined per-batch state generation) — otherwise the next chain
+    # evaluation (a collapse, or get_duplicate_*) scans deleted files.
 
     def _dedup_against_seen(self, df: DataFrame, key_cols: list, seen_attr: str, kind: str, label_col: str) -> DataFrame:
         """First-wins within the batch + anti-join vs ids from earlier calls;

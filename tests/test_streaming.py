@@ -320,6 +320,15 @@ def test_stream_kg_restores_legacy_seen_layout(spark, tmp_path):
     for d in combined_dirs:
         shutil.rmtree(d)
 
+    # read_stream_state must report the legacy layout's real dedup state
+    # (not {}); duplicate metrics are 0 by fact — that engine never
+    # persisted them
+    from biocypher_spark.streaming.stream import read_stream_state
+
+    legacy_state = read_stream_state(spark, outdir)
+    assert legacy_state["seen_nodes"] > 0
+    assert legacy_state["duplicate_nodes"] == 0
+
     # the same entities arriving again must still dedup through the
     # legacy-restored state (no duplicate node ids across all parts)
     generate_transcripts(spark, 300, partitions=1).write.mode("append").parquet(indir)
@@ -337,8 +346,9 @@ def test_stream_kg_many_batches_survives_dup_chain_collapse(spark, tmp_path):
     writer calls that the duplicate-metrics chains hit the 16-layer
     collapse mid-stream. The chains' cross-batch layers lazily reference
     superseded ``_seen_b{id}`` generations, which stream_kg deletes after
-    each commit — without the per-batch ``collapse_duplicate_metrics()``
-    pin the collapse scans deleted files and kills the query."""
+    each commit — without the per-batch persist of the chains into the
+    combined state generation (which repoints them at files that survive
+    the drop) the collapse scans deleted files and kills the query."""
     import glob
     import json
 
@@ -433,3 +443,47 @@ def test_read_stream_state_counts(spark, tmp_path):
     assert second["seen_nodes"] == first["seen_nodes"]
     assert second["seen_edges"] == first["seen_edges"]
     assert second["duplicate_nodes"] >= first["seen_nodes"]
+
+
+def test_stream_kg_duplicate_free_stream_survives_generation_drop(spark, tmp_path):
+    """A stream whose batches contain ONLY unique entities (duplicate-
+    metrics frames stay empty forever) must still survive generation drops:
+    even an all-empty duplicate frame is a lazy union chain referencing
+    superseded ``_seen_b{id}`` files (_note_dups appends its cross-batch
+    layer whether or not it has rows), so the per-batch repoint must be
+    unconditional — guarding it on ``rows > 0`` resurrects the
+    FileNotFoundException crash in the duplicate-free case."""
+    import glob
+    import json
+
+    from biocypher_spark.streaming.stream import read_stream_state, stream_kg
+
+    # 5 single-file micro-batches; every PROT/DIS id appears exactly once
+    # globally and each turn's (subject, object) pair is unique -> no
+    # within-batch or cross-batch duplicate node/edge keys anywhere
+    indir = str(tmp_path / "in")
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    base = __import__("datetime").datetime(2026, 1, 1)
+    for b in range(5):
+        rows = [
+            (
+                f"c{b}_{i}",
+                0,
+                "user",
+                f"PROT{b*100+i*2} binds PROT{b*100+i*2+1} in DIS{b*10+i}",
+                "",
+                base,
+            )
+            for i in range(5)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(indir)
+
+    outdir = str(tmp_path / "kg")
+    q = stream_kg(spark, indir, outdir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(600)
+
+    committed = json.load(open(os.path.join(outdir, "_stream_meta", "committed.json")))
+    assert committed["last_batch"] >= 4, f"stream died early at batch {committed['last_batch']}"
+    state = read_stream_state(spark, outdir)
+    assert state["duplicate_nodes"] == 0 and state["duplicate_edges"] == 0
+    assert state["seen_nodes"] > 0
