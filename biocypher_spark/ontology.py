@@ -84,7 +84,15 @@ def hybrid_ontology(
 
         def resolve(onto: "Ontology", raw_label: str, switched: bool) -> Optional[str]:
             norm = to_lower_sentence_case(raw_label.replace("_", " "))
-            return norm if switched else onto._find_node_by_label(norm)
+            if switched:
+                if norm in onto._parents:
+                    return norm
+                if raw_label in onto._parents:
+                    # YAML hierarchies keep raw keys (no label switching
+                    # happened at load time) — honor the configured name
+                    return raw_label
+                # fall through: a label match resolves to the node id
+            return onto._find_node_by_label(norm)
 
         head_join = resolve(head, conf["head_join_node"], head_switched)
         if head_join is None or head_join not in head._parents:
@@ -146,10 +154,15 @@ class Ontology:
                     parent_map = {**(yaml.safe_load(fh) or {}), **(parent_map or {})}
         for child, parents in (parent_map or {}).items():
             self._add_edges(child, to_list(parents))
-        self._apply_synonyms()
-        self._extend_with_schema()
+        # root restriction FIRST, matching the RDF path (where the filter
+        # runs inside build_ontology_graph before synonyms/schema): schema
+        # classes grafted below the root by their is_a chain must survive,
+        # and the reference likewise restricts the loaded vocabulary before
+        # extending it with the user schema
         if root is not None and not file_root_applied:
             self._restrict_to_root(root)
+        self._apply_synonyms()
+        self._extend_with_schema()
 
     # -- construction ------------------------------------------------------
 
@@ -227,7 +240,13 @@ class Ontology:
         return None
 
     def _apply_synonyms(self) -> None:
-        """Rename ontology nodes to schema keys declared via ``synonym_for``."""
+        """Rename ontology nodes to schema keys declared via ``synonym_for``.
+
+        Matches ``nx.relabel_nodes`` merge semantics (the reference's
+        mechanism): when the rename target already exists as a node, the
+        two nodes MERGE — parent edges union rather than the later dict
+        entry silently overwriting the earlier one. Label attributes follow
+        the rename."""
         renames = {}
         for cls, conf in self.mapping.extended_schema.items():
             syn = conf.get("synonym_for")
@@ -237,8 +256,15 @@ class Ontology:
             return
         new: dict[str, list[str]] = {}
         for child, parents in self._parents.items():
-            new[renames.get(child, child)] = [renames.get(p, p) for p in parents]
+            tgt = renames.get(child, child)
+            cur = new.setdefault(tgt, [])
+            for p in parents:
+                rp = renames.get(p, p)
+                if rp != tgt and rp not in cur:
+                    cur.append(rp)
         self._parents = new
+        if self._labels:
+            self._labels = {renames.get(n, n): lbl for n, lbl in self._labels.items()}
 
     def _extend_with_schema(self) -> None:
         """Append schema classes' ``is_a`` chains as DAG edges.
@@ -344,7 +370,10 @@ class Ontology:
 
         g = nx.DiGraph()
         for child, parents in self._parents.items():
-            g.add_node(child, label=child)
+            # file-loaded ontologies carry the un-switched half of the
+            # id/label pair in _labels — preserve it as the node's label
+            # attribute like the reference; headless nodes label as self
+            g.add_node(child, label=self._labels.get(child, child))
             for p in parents:
                 g.add_edge(child, p)
         return g

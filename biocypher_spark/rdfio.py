@@ -148,10 +148,17 @@ class TurtleParser:
         return f"_:tb{self._bnode_n}"
 
     def _resolve_iri(self, raw: str) -> str:
+        """Resolve a relative IRI against @base — same rules as
+        RdfXmlParser._resolve, so the Turtle and RDF/XML serializations of
+        one ontology produce identical node keys: fragments/empty refs
+        attach to the base document, other relatives replace its last
+        path segment (RFC 3986 §5.2-style merge)."""
         iri = raw[1:-1]
-        if iri and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
-            iri = self.base + iri
-        return iri
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return iri
+        if iri.startswith("#") or iri == "":
+            return self.base.split("#", 1)[0] + iri
+        return self.base.rsplit("/", 1)[0] + "/" + iri if self.base else iri
 
     def _resolve_pname(self, pname: str) -> str:
         prefix, _, local = pname.partition(":")
@@ -250,6 +257,10 @@ class TurtleParser:
                     break
             if self._peek() == ("punct", ";"):
                 self._next()
+                # consecutive ';' are empty predicateObjectList entries,
+                # valid Turtle 1.1 grammar (';' po? — §7.1)
+                while self._peek() == ("punct", ";"):
+                    self._next()
                 # allow trailing ';' before ']' or '.'
                 if self._peek()[0] in ("dot", "eof") or self._peek() == ("punct", "]"):
                     return
@@ -408,13 +419,22 @@ class RdfXmlParser:
 # ---------------------------------------------------------------------------
 
 
+def _smells_like_turtle(stripped: str, text: str) -> bool:
+    """'@prefix'/'@base' directives, or their SPARQL-style 'PREFIX'/'BASE'
+    equivalents (valid Turtle 1.1 §6.4 that TurtleParser accepts)."""
+    if "@prefix" in text[:4000] or stripped.startswith("@"):
+        return True
+    first_word = stripped[:7].lower()
+    return first_word.startswith(("prefix", "base "))
+
+
 def looks_like_rdf_text(head: str) -> bool:
     """Content sniff shared with ``Ontology._sniff_rdf``: does this text
     begin like RDF/XML or Turtle?"""
-    stripped = head.lstrip()
+    stripped = head.lstrip("﻿ \t\r\n")
     return (
-        stripped.startswith(("<?xml", "<!DOCTYPE", "<rdf:RDF", "<RDF", "@prefix", "@base"))
-        or "@prefix" in head
+        stripped.startswith(("<?xml", "<!DOCTYPE", "<rdf:RDF", "<RDF"))
+        or _smells_like_turtle(stripped, head)
     )
 
 
@@ -423,15 +443,15 @@ def sniff_format(path: str, text: str) -> str:
     lower = path.lower()
     if lower.endswith(".ttl"):
         return "ttl"
-    stripped = text.lstrip()
+    stripped = text.lstrip("﻿ \t\r\n")
     if stripped.startswith("<?xml") or stripped.startswith("<!DOCTYPE") or stripped.startswith("<rdf:RDF") or stripped.startswith("<RDF"):
         return "rdfxml"
     if lower.endswith(".owl") or lower.endswith(".rdf") or lower.endswith(".xml"):
         # .owl files are usually RDF/XML but can be Turtle-serialized
-        if "@prefix" in text[:4000] or stripped.startswith("@"):
+        if _smells_like_turtle(stripped, text):
             return "ttl"
         return "rdfxml"
-    if "@prefix" in text[:4000] or stripped.startswith("@"):
+    if _smells_like_turtle(stripped, text):
         return "ttl"
     return "rdfxml"
 
@@ -443,7 +463,9 @@ def parse_rdf_file(path: str, file_format: Optional[str] = None) -> list[tuple[s
     'rdfxml' (all meaning RDF/XML — matching the reference's
     ``_get_format`` mapping, /root/reference/biocypher/_ontology.py:401-416).
     """
-    with open(path, encoding="utf-8") as fh:
+    # utf-8-sig: a BOM would otherwise be tokenized into the first @prefix
+    # directive, silently swallowing the prefix registration
+    with open(path, encoding="utf-8-sig") as fh:
         text = fh.read()
     fmt = (file_format or "").lower()
     if fmt in ("ttl", "turtle"):

@@ -442,3 +442,156 @@ def test_turtle_single_quoted_literals(tmp_path):
     # exactly as it does for triple-double-quoted labels
     parents, _ = build_ontology_graph(triples)
     assert parents["alpha"] == ["beta\n gamma"]
+
+
+# -- round-4 review regressions (parser/DAG edge cases) ----------------------
+
+_MINI_TTL = """@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix : <http://example.org/onto#> .
+:Root a owl:Class ; rdfs:label "Root" .
+:Child a owl:Class ; rdfs:subClassOf :Root ; rdfs:label "Child" .
+"""
+
+
+def test_turtle_bom_is_ignored(tmp_path):
+    """A UTF-8 BOM must not swallow the first @prefix directive."""
+    p = tmp_path / "bom.ttl"
+    p.write_bytes(b"\xef\xbb\xbf" + _MINI_TTL.encode())
+    o = Ontology(hierarchy_file=str(p), root="Root")
+    assert ("child", "root") in edges(o)
+
+
+def test_sparql_style_prefix_directives(tmp_path):
+    """SPARQL-style PREFIX/BASE (Turtle 1.1 §6.4) must sniff as Turtle and
+    parse — even in a .owl file and in an extensionless file."""
+    text = _MINI_TTL.replace(
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>",
+    ).replace(
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+        "prefix owl: <http://www.w3.org/2002/07/owl#>",
+    ).replace(
+        "@prefix : <http://example.org/onto#> .",
+        "PREFIX : <http://example.org/onto#>",
+    )
+    for name in ("sparql_style.owl", "sparql_style"):
+        p = tmp_path / name
+        p.write_text(text)
+        o = Ontology(hierarchy_file=str(p), root="Root")
+        assert ("child", "root") in edges(o)
+
+
+def test_consecutive_semicolons_are_empty_entries(tmp_path):
+    """';' with no predicate-object between (valid Turtle 1.1 grammar)."""
+    p = tmp_path / "semi.ttl"
+    p.write_text(_MINI_TTL.replace(
+        ":Child a owl:Class ; rdfs:subClassOf :Root ; rdfs:label \"Child\" .",
+        ":Child a owl:Class ; ; rdfs:subClassOf :Root ; ; rdfs:label \"Child\" .",
+    ))
+    o = Ontology(hierarchy_file=str(p), root="Root")
+    assert ("child", "root") in edges(o)
+
+
+def test_relative_iri_resolution_matches_rdfxml(tmp_path):
+    """Non-fragment relative IRIs under @base replace the base's last path
+    segment (as RdfXmlParser._resolve does), so the same resource named
+    relatively and absolutely gets ONE node key."""
+    p = tmp_path / "rel.ttl"
+    p.write_text(
+        "@base <http://example.org/dir/onto.ttl> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+        "<#Root> a owl:Class ; rdfs:label \"Root\" .\n"
+        "<Child> a owl:Class ; rdfs:subClassOf <#Root> ; rdfs:label \"Child\" .\n"
+        "<http://example.org/dir/Child> rdfs:label \"Child\" .\n"
+    )
+    triples = parse_rdf_file(str(p))
+    subjects = {s for s, _, _ in triples}
+    assert "http://example.org/dir/Child" in subjects
+    assert not any(s.endswith("onto.ttlChild") for s in subjects)
+
+
+def test_synonym_rename_merges_edges_and_labels(tmp_path):
+    """synonym_for rename onto an EXISTING node name merges parent edges
+    (nx.relabel_nodes semantics) instead of dropping one branch, and the
+    _labels map follows the rename."""
+    from biocypher_spark.mapping import SchemaMapping
+
+    o = Ontology(
+        mapping=SchemaMapping(schema={"protein": {"synonym_for": "polypeptide", "represented_as": "node"}}),
+        parent_map={
+            "protein": ["molecule"],
+            "polypeptide": ["chemical entity"],
+            "molecule": ["entity"],
+            "chemical entity": ["entity"],
+        },
+    )
+    anc = set(o.get_ancestors("protein"))
+    assert {"molecule", "chemical entity", "entity"} <= anc
+    assert "polypeptide" not in o._parents
+
+    p = tmp_path / "syn.ttl"
+    p.write_text(_MINI_TTL.replace("Child", "Polypeptide"))
+    o2 = Ontology(
+        mapping=SchemaMapping(schema={"protein": {"synonym_for": "polypeptide", "represented_as": "node"}}),
+        hierarchy_file=str(p),
+        root="Root",
+    )
+    assert "protein" in o2._parents and "polypeptide" not in o2._parents
+    # the stored label attribute follows the rename (dead-key regression)
+    assert o2.node_label("protein") is not None
+    assert o2.node_label("polypeptide") is None
+
+
+def test_yaml_root_restriction_keeps_schema_is_a_chains(tmp_path):
+    """Root restriction must run BEFORE schema extension on the YAML path
+    (as the RDF path does): a schema class attached below the root via
+    is_a survives; a vocabulary branch outside the root is still pruned."""
+    from biocypher_spark.mapping import SchemaMapping
+
+    y = tmp_path / "h.yaml"
+    y.write_text(
+        "named thing: null\n"
+        "gene: named thing\n"
+        "widget: other root\n"
+        "other root: null\n"
+    )
+    o = Ontology(
+        mapping=SchemaMapping(schema={"gadget": {"is_a": "gene", "represented_as": "node"}}),
+        hierarchy_file=str(y),
+        root="named thing",
+    )
+    assert set(o.get_ancestors("gadget")) >= {"gene", "named thing"}
+    assert "widget" not in o._parents
+
+
+def test_to_networkx_preserves_label_attribute():
+    o = Ontology(hierarchy_file=f"{ONT}/reverse_labels.ttl", root="Label_Root", switch_label_and_id=True)
+    g = o.to_networkx()
+    assert g.nodes["label root"]["label"] == "ID_0"
+
+
+def test_hybrid_ontology_with_yaml_tail(tmp_path):
+    """hybrid_ontology must resolve join nodes against YAML-loaded
+    hierarchies whose keys are raw (no label switching at load time)."""
+    from biocypher_spark.ontology import hybrid_ontology
+
+    head = tmp_path / "head.ttl"
+    head.write_text(_MINI_TTL)
+    tail = tmp_path / "tail.yaml"
+    tail.write_text("sequence_variant: null\nsnv: sequence_variant\n")
+    o = hybrid_ontology(
+        None,
+        head_ontology={"url": str(head), "root_node": "Root"},
+        tail_ontologies={
+            "t": {
+                "url": str(tail),
+                "head_join_node": "Child",
+                "tail_join_node": "sequence_variant",
+                "format": "yaml",
+            }
+        },
+    )
+    assert "snv" in o._parents
+    assert "child" in o.get_ancestors("snv") or "sequence_variant" in o.get_ancestors("snv")
