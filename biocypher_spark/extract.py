@@ -75,8 +75,28 @@ def _compile_gazetteer(patterns: dict[str, str]):
     number of label j's named wrapper group ``g{j}``; ``simple`` is True
     when no user pattern adds inner capturing groups, in which case
     ``match.lastindex - 1`` IS the label index (fast path — no per-match
-    group scan)."""
+    group scan).
+
+    Rejects patterns the alternation cannot represent faithfully: wrapping
+    shifts group numbers, so a numeric backreference (``\\1``) or named
+    backreference (``(?P=x)``) inside a user pattern would silently bind to
+    the WRONG group and drop mentions; a user group named ``g<digit+>``
+    would collide with the wrapper names. Loud error > silent corruption —
+    such patterns work with :func:`extract_mentions_expr` (compiled
+    per-label, no renumbering)."""
     labels = list(patterns)
+    for label, p in patterns.items():
+        if re.search(r"\\[1-9]|\(\?P=", p):
+            raise ValueError(
+                f"pattern for {label!r} uses a regex backreference, which the "
+                "combined gazetteer alternation cannot renumber — use "
+                "extract_mentions_expr for this pattern set"
+            )
+        if re.search(r"\(\?P<g\d+>", p):
+            raise ValueError(
+                f"pattern for {label!r} defines a group named 'g<digits>', "
+                "which collides with the gazetteer's wrapper groups — rename it"
+            )
     combined = re.compile("|".join(f"(?P<g{j}>{p})" for j, p in enumerate(patterns.values())))
     gidx = [combined.groupindex[f"g{j}"] for j in range(len(labels))]
     return labels, combined, gidx, combined.groups == len(labels)
@@ -130,7 +150,9 @@ def extract_mentions(
             yield pd.DataFrame(
                 {
                     "conv_id": o_conv,
-                    "turn_idx": pd.array(o_turn, dtype="int32"),
+                    # nullable Int32: a NULL turn_idx arrives as NaN in a
+                    # float64 column; plain int32 would raise on it
+                    "turn_idx": pd.array(o_turn, dtype="Int32"),
                     "input_label": o_label,
                     "surface": o_surface,
                     "m_pos": pd.array(o_pos, dtype="int32"),
@@ -207,7 +229,10 @@ def extract_mentions_grouped(
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"].values,
-                    "turn_idx": pdf["turn_idx"].astype("int32").values,
+                    # nullable Int32 (not .astype("int32")): a NULL turn_idx
+                    # makes Arrow deliver the column as float64-with-NaN,
+                    # and the non-nullable cast raises on the whole batch
+                    "turn_idx": pd.array(pdf["turn_idx"], dtype="Int32"),
                     "ms": out_ms,
                 }
             )

@@ -253,7 +253,15 @@ def canonicalize(
     case. Candidate generation is skew-guarded: cheap blocks up to
     ``max_block_size``, PPJoin prefix filtering beyond.
     """
-    surfaces = mentions.select(normalize_surface(F.col("surface")).alias("nkey")).distinct()
+    # drop NULL surfaces up front: the distributed path would shed them
+    # implicitly via join semantics, but the driver path's _cheap_block_py
+    # would crash on None — one explicit filter keeps both paths identical
+    # (a null surface gets no canonical mapping either way)
+    surfaces = (
+        mentions.select(normalize_surface(F.col("surface")).alias("nkey"))
+        .filter(F.col("nkey").isNotNull())
+        .distinct()
+    )
     surfaces = surfaces.persist()
     spark = mentions.sparkSession
     # count-probe, not collect-probe: on the large-domain path a limited
@@ -283,6 +291,22 @@ def canonicalize(
     return comp.select(F.col("node").alias("nkey"), F.col("comp").alias("canonical_id"))
 
 
+def _pairwise(ents_col: str = "ents") -> F.Column:
+    """Index-aware unordered pair expansion of an array column: each element
+    paired with every LATER element — struct(a, b) rows, JVM-side, no join.
+    Shared by :func:`cooccurrence_pairs` and :func:`zero_shuffle_evidence`
+    (one definition so the slice arithmetic cannot drift between them)."""
+    return F.flatten(
+        F.transform(
+            F.col(ents_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ents_col), i + 2, F.greatest(F.size(F.col(ents_col)) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
     """Within-turn entity pairs from linked mentions — without a self-join.
 
@@ -295,16 +319,7 @@ def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
         F.collect_list(F.struct(F.col("canonical_id").alias("c"), F.col("input_label").alias("l")))
     )
     per_turn = linked.groupBy("conv_id", "turn_idx").agg(ents.alias("ents"))
-    # index-aware transform: pair each element with every later element
-    pairs = F.flatten(
-        F.transform(
-            F.col("ents"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ents"), i + 2, F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pairs = _pairwise()
     exploded = per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("p")).filter(
         F.col("p.a.c") != F.col("p.b.c")
     )
@@ -376,15 +391,7 @@ def zero_shuffle_evidence(grouped: DataFrame, threshold: float = 0.35) -> tuple:
         )
     )
     per_turn = grouped.select("conv_id", "turn_idx", ents.alias("ents"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("ents"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ents"), i + 2, F.greatest(F.size(F.col("ents")) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pairs = _pairwise()
     exploded = per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("p"))
     driver_sized = getattr(mapping, "_driver_sized", False)
     map_a = mapping.select(F.col("nkey").alias("_ka"), F.col("canonical_id").alias("ca_id"))

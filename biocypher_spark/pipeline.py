@@ -87,7 +87,10 @@ def load_default_schema_mapping() -> SchemaMapping:
                 data = yaml.safe_load(zf.read(member.lstrip("/\\").replace(os.sep, "/")))
             if data:
                 return SchemaMapping(schema=data)
-        except (OSError, KeyError):
+        except (OSError, KeyError, zipfile.BadZipFile):
+            # BadZipFile is a direct Exception subclass (not OSError): a
+            # truncated py-files artifact must still fall through to the
+            # embedded schema instead of crashing pipeline construction
             pass
     return SchemaMapping(schema={k: dict(v) for k, v in DEFAULT_SCHEMA_DICT.items()})
 
@@ -213,21 +216,16 @@ class KGPipeline:
         self._lineage_rows = []
         stage_secs: dict[str, float] = {}
         t0 = time.time()
-        if resume and self._is_done("mentions"):
-            mentions = self.spark.read.parquet(self._stage_path("mentions"))
-        else:
-            fn = extract_mentions if self.use_pandas_extraction else extract_mentions_expr
-            mentions = fn(transcripts, patterns)
-            mentions = self._checkpoint("mentions", mentions, resume)
+        # resume handling lives entirely inside _checkpoint (read-back when
+        # the stage's _SUCCESS exists); building the stage DataFrame first
+        # is free — DAG construction is lazy, no job runs on the skip path
+        fn = extract_mentions if self.use_pandas_extraction else extract_mentions_expr
+        mentions = self._checkpoint("mentions", fn(transcripts, patterns), resume)
         self._record_lineage("mentions", mentions)
         stage_secs["mentions"] = time.time() - t0
 
         t0 = time.time()
-        if resume and self._is_done("linked"):
-            linked = self.spark.read.parquet(self._stage_path("linked"))
-        else:
-            linked = link_mentions(mentions, self.link_threshold)
-            linked = self._checkpoint("linked", linked, resume)
+        linked = self._checkpoint("linked", link_mentions(mentions, self.link_threshold), resume)
         self._record_lineage("linked", linked)
         stage_secs["linked"] = time.time() - t0
 
@@ -283,7 +281,11 @@ class KGPipeline:
         # carries the reified nodes and .edges carries only the SURVIVING
         # helper edges rather than the translator's pre-dedup frame
         nodes_out, edges_out = tn.nodes, te.edges
-        if te.ran_nodes is not None:
+        if te.ran_nodes is not None and schema_has_rel_as_node(self.mapping):
+            # gate on the SCHEMA, not the frame: translate_edges always
+            # returns a (possibly empty) ran_nodes DataFrame, and without
+            # rel-as-node classes the dedup window + two unions would run
+            # on provably-empty frames every run
             from .dedup import dedup_rel_as_nodes
 
             ran_nodes_kept, ran_edges_kept, _ = dedup_rel_as_nodes(te.ran_nodes, te.ran_edges)
@@ -296,10 +298,11 @@ class KGPipeline:
         lineage_path = self._flush_lineage()
         stage_secs["write"] = time.time() - t0
 
+        # totals from the lineage rows _record_lineage already collected —
+        # identical sums, three fewer full checkpoint scans
         counts = {
-            "mentions": mentions.count(),
-            "nodes": nodes.count(),
-            "edges": edges.count(),
+            stage: sum(r[3] for r in self._lineage_rows if r[0] == stage)
+            for stage in ("mentions", "nodes", "edges")
         }
         metrics_path = self._flush_metrics(counts, stage_secs)
         return PipelineResult(
@@ -313,6 +316,15 @@ class KGPipeline:
             counts=counts,
             metrics_path=metrics_path,
         )
+
+
+def schema_has_rel_as_node(mapping: SchemaMapping) -> bool:
+    """True when any edge class is reified (``represented_as: node`` with
+    source/target) — the only case the rel-as-node dedup can act on."""
+    return any(
+        conf.get("represented_as") == "node" and "source" in conf and "target" in conf
+        for conf in mapping.extended_schema.values()
+    )
 
 
 def edge_input_labels(mapping: SchemaMapping) -> set:

@@ -259,3 +259,66 @@ def test_prefix_length_filter_lossless(spark):
     assert ("abcdefghijklmnopqrstuvwxyy", "abcdefghijklmnopqrstuvwxyz") in got
     # and the filter is lossless w.r.t. the verified edge set
     assert score_pairs(cand, 0.5).count() == 1
+
+
+def test_extraction_tolerates_null_turn_idx(spark):
+    """Both mapInPandas kernels must survive a NULL turn_idx (Arrow hands
+    the batch's column over as float64-with-NaN): the mention keeps a NULL
+    turn_idx instead of crashing the task."""
+    from biocypher_spark.extract import extract_mentions, extract_mentions_grouped
+
+    rows = [
+        ("c1", 0, "user", "PROT1 binds PROT2", "", None),
+        ("c1", None, "user", "DIS3 mentioned here", "", None),
+        ("c2", None, "user", "no entities at all", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    flat = extract_mentions(df, balance=False)
+    got = {(r["conv_id"], r["turn_idx"], r["surface"]) for r in flat.collect()}
+    assert ("c1", None, "DIS3") in got and ("c1", 0, "PROT1") in got
+
+    grouped = extract_mentions_grouped(df)
+    rows2 = {(r["conv_id"], r["turn_idx"]): [m["surface"] for m in r["ms"]] for r in grouped.collect()}
+    assert rows2[("c1", None)] == ["DIS3"]
+    assert rows2[("c2", None)] == []
+
+
+def test_gazetteer_rejects_backreference_patterns():
+    """Backreferences can't be renumbered inside the combined alternation —
+    loud error instead of silently dropping mentions."""
+    import pytest as _pytest
+
+    from biocypher_spark.extract import _compile_gazetteer
+
+    with _pytest.raises(ValueError, match="backreference"):
+        _compile_gazetteer({"protein": r"PROT\d+", "dup": r"(\w+)-\1"})
+    with _pytest.raises(ValueError, match="collides"):
+        _compile_gazetteer({"protein": r"(?P<g0>PROT)\d+"})
+
+
+def test_canonicalize_ignores_null_surfaces(spark):
+    """A NULL surface gets no canonical mapping on BOTH the driver-local and
+    distributed paths (previously the driver path crashed on None)."""
+    from biocypher_spark.linking import canonicalize
+
+    m = spark.createDataFrame(
+        [("c1", 0, "protein", "PROT1"), ("c1", 0, "protein", None), ("c1", 1, "protein", "prot-1")],
+        "conv_id string, turn_idx int, input_label string, surface string",
+    )
+    for thresh in (200_000, 0):  # driver path / distributed path
+        out = canonicalize(m, driver_cc_threshold=thresh)
+        keys = {r["nkey"] for r in out.collect()}
+        assert None not in keys and "prot1" in keys
+
+
+def test_schema_zip_fallback_on_corrupt_zip(tmp_path, monkeypatch):
+    """A truncated py-files zip must fall through to the embedded schema."""
+    import biocypher_spark.pipeline as pl
+
+    bad = tmp_path / "biocypher_spark.zip"
+    bad.write_bytes(b"not a zip archive")
+    monkeypatch.setattr(pl, "DEFAULT_SCHEMA", str(bad) + "/config/transcripts_schema.yaml")
+    mapping = pl.load_default_schema_mapping()
+    assert mapping.extended_schema  # embedded DEFAULT_SCHEMA_DICT compiled
