@@ -1501,22 +1501,25 @@ def _pii_oracle() -> str:
     from .textops import PII_PATTERNS
 
     email, phone, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ip"))
-    scrub = "text"
-    for pat, tag in PII_PATTERNS.values():
-        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    # counts chain over the progressively scrubbed text, mirroring
+    # textops.pii_scrub: n_{name} == tag occurrences in scrubbed
     return f"""
     WITH t AS (
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0
           THEN text || '{_PII_PRE}' || doc_id::VARCHAR || '{_PII_POST}'
           ELSE text END AS text
-      FROM documents)
+      FROM documents),
+    s1 AS (SELECT doc_id, text,
+      regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t1 FROM t),
+    s2 AS (SELECT doc_id, text, t1,
+      regexp_replace(t1, '{phone}', '[PHONE]', 'g') AS t2 FROM s1)
     SELECT doc_id,
       len(regexp_extract_all(text, '{email}')) AS n_email,
-      len(regexp_extract_all(text, '{phone}')) AS n_phone,
-      len(regexp_extract_all(text, '{ip}')) AS n_ip,
-      {scrub} AS scrubbed
-    FROM t
+      len(regexp_extract_all(t1, '{phone}')) AS n_phone,
+      len(regexp_extract_all(t2, '{ip}')) AS n_ip,
+      regexp_replace(t2, '{ip}', '[IP]', 'g') AS scrubbed
+    FROM s2
     """
 
 

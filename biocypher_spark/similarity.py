@@ -39,8 +39,17 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _safe_cos(dot: Column, denom: Column) -> Column:
+    """dot/denom with a zero-denominator guard: an all-zero embedding (a
+    common failed/padded-row artifact) gets cosine 0.0 — no similarity —
+    instead of crashing the job with DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode. Identical value whenever the denominator is
+    non-zero, so oracle hashes are unaffected."""
+    return F.when(denom != 0.0, dot / denom).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _safe_cos(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, vec_col: str = "embedding") -> DataFrame:
@@ -48,9 +57,17 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, vec_col: 
 
     The single-row query side is broadcast; ordering ties break on vec_id.
     """
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(F.col(vec_col).alias("_q"))
+    # query norm rides in the one-row broadcast frame, evaluated ONCE —
+    # cosine(vec, _q) would re-fold the 64-element query norm per corpus row
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("_q"), _norm(F.col(vec_col)).alias("_qn")
+    )
+    if not q.take(1):
+        # same contract as ivf_topk: a typo'd id raises instead of
+        # returning a silently-empty frame
+        raise ValueError(f"cosine_topk: query vec_id {query_vec_id} not found")
     joined = embeddings.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != query_vec_id)
-    cos = cosine(F.col(vec_col), F.col("_q"))
+    cos = _safe_cos(_dot(F.col(vec_col), F.col("_q")), _norm(F.col(vec_col)) * F.col("_qn"))
     return (
         joined.select("vec_id", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), F.asc("vec_id"))
@@ -86,11 +103,7 @@ def hyperplane_signs_md5(table: int, num_planes: int, dims: int) -> list[list[in
 
 def lsh_buckets(embeddings: DataFrame, num_planes: int = 2, dims: int = 64, vec_col: str = "embedding") -> DataFrame:
     """Sign-LSH bucket per vector: bit p = (v . h_p >= 0)."""
-    bucket = F.lit(0)
-    for p, signs in enumerate(hyperplane_signs(num_planes, dims)):
-        signs_arr = F.array(*[F.lit(float(s)) for s in signs])
-        proj = _dot(F.col(vec_col), signs_arr)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucket = _bucket_expr(hyperplane_signs(num_planes, dims), vec_col)
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
@@ -101,13 +114,29 @@ def _bucket_expr(signs_list: list[list[int]], vec_col: str) -> Column:
     ``0.0 ± v[0] ± v[1] ...`` expression was measured SLOWER — 64
     projections × 64 terms overflow Janino's 64 KB method limit (inside a
     Generate it hard-fails codegen; even as a split Project it loses to the
-    fold), so the fold is the fastest portable formulation here."""
+    fold), so the fold is the fastest portable formulation here.
+
+    Guarded against a dims/data mismatch: zip_with pads the shorter array
+    with NULLs, every projection would fold to NULL, and `when(proj >= 0)`
+    would silently send EVERY vector to bucket 0 — which the size cap then
+    drops, making near-dup/semantic-dedup return empty with no error. The
+    per-row raise_error costs one int compare inside the job (no extra
+    probe action)."""
+    dims = len(signs_list[0]) if signs_list else 0
     bucket = F.lit(0)
     for p, signs in enumerate(signs_list):
         signs_arr = F.array(*[F.lit(float(s)) for s in signs])
         proj = _dot(F.col(vec_col), signs_arr)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    return F.when(F.size(F.col(vec_col)) == dims, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh: embedding length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != configured dims={dims}"),
+            )
+        )
+    )
 
 
 def lsh_topk(
@@ -127,12 +156,14 @@ def lsh_topk(
     bucket = _bucket_expr(hyperplane_signs(num_planes, dims), vec_col)
     with_bucket = embeddings.select("vec_id", vec_col, bucket.alias("bucket"))
     qb = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("_qb"), F.col(vec_col).alias("_q")
+        F.col("bucket").alias("_qb"), F.col(vec_col).alias("_q"), _norm(F.col(vec_col)).alias("_qn")
     )
+    if not qb.take(1):
+        raise ValueError(f"lsh_topk: query vec_id {query_vec_id} not found")
     cand = with_bucket.crossJoin(F.broadcast(qb)).filter(
         (F.col("bucket") == F.col("_qb")) & (F.col("vec_id") != query_vec_id)
     )
-    cos = cosine(F.col(vec_col), F.col("_q"))
+    cos = _safe_cos(_dot(F.col(vec_col), F.col("_q")), _norm(F.col(vec_col)) * F.col("_qn"))
     return (
         cand.select("vec_id", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), F.asc("vec_id"))
@@ -359,7 +390,7 @@ def embedding_near_dup(
     eb = with_norm.select(
         F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"), F.col("_n").alias("_nb")
     )
-    cos = F.round(_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")), 6)
+    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_eb")), F.col("_na") * F.col("_nb")), 6)
     return (
         cand.join(ea, "va")
         .join(eb, "vb")
@@ -428,7 +459,7 @@ def embedding_dedup_against(
     wr = reference.select(
         F.col("vec_id").alias("ref_id"), F.col(vec_col).alias("_er"), _norm(F.col(vec_col)).alias("_nr")
     )
-    cos = F.round(_dot(F.col("_ea"), F.col("_er")) / (F.col("_na") * F.col("_nr")), 6)
+    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_er")), F.col("_na") * F.col("_nr")), 6)
     matches = (
         cand.join(wa, "vec_id")
         .join(wr, "ref_id")

@@ -693,14 +693,17 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``regexp_extract_all``/``regexp_replace`` (whole-stage codegen), no
     shuffle. The raw column is untouched; the scrubbed text is a NEW column
     (per-turn text-equality invariant). Replacement order is email -> phone
-    -> ip, so the oracle must chain in the same order.
+    -> ip, and each count is computed on the PROGRESSIVELY scrubbed text —
+    not the raw text — so n_{name} always equals the number of [{TAG}]
+    occurrences in ``scrubbed`` (counting every pattern on the raw text
+    double-counts overlaps, e.g. a phone-shaped digit run inside an email
+    local part that the email replacement already consumed). The oracle
+    chains in the same order.
     """
-    counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
-        for name, (pat, _) in PII_PATTERNS.items()
-    ]
+    counts = []
     scrubbed = F.col(text_col)
-    for _name, (pat, tag) in PII_PATTERNS.items():
+    for name, (pat, tag) in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
         scrubbed = F.regexp_replace(scrubbed, pat, tag)
     return df.select("doc_id", *counts, scrubbed.alias("scrubbed"))
 
@@ -747,12 +750,21 @@ def contamination_check(df: DataFrame, probes: list, text_col: str = "text") -> 
     join. For probe sets too large to inline (millions of eval n-grams),
     shingle the corpus and semi-join on hashed n-grams instead — this
     operator is the small-probe-set fast path.
+
+    Degenerate probes (same rule as :func:`contamination_join`): NULL
+    probes are ignored (a null would otherwise poison `exists` into NULL
+    for every non-matching doc); an empty-string probe marks EVERY document
+    contaminated (contains(text, '') is true). NULL text is never
+    contaminated.
     """
+    probes = [p for p in probes if p is not None]
+    if "" in probes:
+        return df.select("doc_id", F.lit(True).alias("contaminated"))
     hit = F.exists(
         F.array(*[F.lit(p) for p in probes]),
         lambda p: F.contains(F.col(text_col), p),
     )
-    return df.select("doc_id", hit.alias("contaminated"))
+    return df.select("doc_id", F.coalesce(hit, F.lit(False)).alias("contaminated"))
 
 
 def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text", probe_col: str = "probe") -> DataFrame:
@@ -770,11 +782,12 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     tables broadcast (AQE); large ones shuffle on the gram, the exact-join
     decontamination path used for real eval-set screens.
     """
-    lengths = sorted(
-        r[0]
-        for r in probes.select(F.length(probe_col).alias("l")).distinct().collect()
-        if r[0] and r[0] > 0
-    )
+    lens = [r[0] for r in probes.select(F.length(probe_col).alias("l")).distinct().collect()]
+    if 0 in lens:
+        # empty-string probe: contains(text, '') is true for every doc —
+        # match contamination_check instead of silently dropping the probe
+        return df.select("doc_id", F.lit(True).alias("contaminated"))
+    lengths = sorted(l for l in lens if l)  # NULL probes ignored, like check
     if not lengths:
         return df.select("doc_id", F.lit(False).alias("contaminated"))
     gram_arrays = [shingles(F.col(text_col), n) for n in lengths]

@@ -759,3 +759,84 @@ def test_clean_corpus_semantic_stage(hygiene_docs, spark):
         6: (False, "low_quality"),
         7: (False, "semantic_dup"),
     }
+
+
+def test_cosine_zero_norm_vector_does_not_crash(spark):
+    """An all-zero embedding (failed/padded row) gets cosine 0.0 instead of
+    an ANSI DIVIDE_BY_ZERO crash — in brute-force top-k and in the
+    near-dup verify."""
+    from biocypher_spark.similarity import cosine_topk, embedding_near_dup
+
+    rows = [(1, [1.0] * 64), (2, [0.0] * 64), (3, [1.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {r["vec_id"]: r["cos"] for r in cosine_topk(emb, 1, k=5).collect()}
+    assert got[2] == 0.0 and got[3] == 1.0
+    pairs = {(r["va"], r["vb"]) for r in embedding_near_dup(emb, threshold=0.95).collect()}
+    assert (1, 3) in pairs and not any(2 in p for p in pairs)
+
+
+def test_lsh_dims_mismatch_raises(spark):
+    """dims != actual embedding length must raise, not silently collapse
+    every vector into bucket 0 (which the size cap then drops)."""
+    import pytest as _pytest
+
+    from biocypher_spark.similarity import embedding_near_dup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 32) for i in range(1, 6)], "vec_id int, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="!= configured dims"):
+        embedding_near_dup(emb, dims=64).collect()
+
+
+def test_topk_missing_query_raises(spark):
+    import pytest as _pytest
+
+    from biocypher_spark.similarity import cosine_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(1, 4)], "vec_id int, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="not found"):
+        cosine_topk(emb, 99)
+    with _pytest.raises(ValueError, match="not found"):
+        lsh_topk(emb, 99)
+
+
+def test_pii_counts_agree_with_scrubbed_tags(spark):
+    """Counts chain over the progressively scrubbed text: a phone-shaped
+    digit run inside an email local part is consumed by the email
+    replacement and must NOT be counted as a phone."""
+    from biocypher_spark.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "contact 5551234567@mail.com"), (2, "call 555-123-4567 now")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 0
+    assert rows[1]["scrubbed"].count("[EMAIL]") == 1 and "[PHONE]" not in rows[1]["scrubbed"]
+    assert rows[2]["n_phone"] == 1 and rows[2]["scrubbed"].count("[PHONE]") == 1
+
+
+def test_contamination_degenerate_probes_consistent(spark):
+    """NULL probes ignored; empty-string probe -> everything contaminated;
+    identical verdicts from the inline and join paths."""
+    from biocypher_spark.textops import contamination_check, contamination_join
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "nothing here"), (3, None)], "doc_id int, text string"
+    )
+    # empty probe: both paths flag every (non-null-text) doc... inline path
+    # short-circuits to all-True by the contains('') rule
+    inline_all = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, ["", "x"]).collect()}
+    assert inline_all == {1: True, 2: True, 3: True}
+    probes_empty = spark.createDataFrame([("",), ("x",)], "probe string")
+    join_all = {r["doc_id"]: r["contaminated"] for r in contamination_join(docs, probes_empty).collect()}
+    assert join_all == {1: True, 2: True, 3: True}
+
+    # NULL probe ignored on both paths; null text is never contaminated
+    inline = {r["doc_id"]: r["contaminated"] for r in contamination_check(docs, [None, "world"]).collect()}
+    probes = spark.createDataFrame([(None,), ("world",)], "probe string")
+    joined = {r["doc_id"]: r["contaminated"] for r in contamination_join(docs, probes).collect()}
+    assert inline == joined == {1: True, 2: False, 3: False}
