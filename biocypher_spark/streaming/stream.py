@@ -360,6 +360,11 @@ def stream_kg(
             if getattr(writer, attr) is not None:
                 setattr(writer, attr, _seen_cols(attr, back))
         _point_dups_at(back)
+        # every seen frame (and dup chain) now reads from the generation's
+        # files — the per-call persist() pins are superseded; releasing
+        # them per batch is what keeps a long stream's cache O(state), not
+        # O(batches x state)
+        writer.release_seen_state_pins()
 
     def _drop_old_seen(batch_id: int) -> None:
         for prefix in ("_seen",) + _SEEN_ATTRS:

@@ -141,13 +141,13 @@ class SparkTranslator:
                 self.mappings[lab] = sentence_to_pascal(target)
             # raw input_label as-is (list or scalar), matching the reference's
             # reverse-mapping store — lists make reverse_translate ambiguous
-            # and raise there, scalars translate directly
-            self.reverse_mappings[sentence_to_pascal(target)] = labels
+            # and raise there, scalars translate directly; a class WITHOUT
+            # an input_label (ontology-only/parent) must not register None,
+            # or reverse_translate would rewrite ':Class)' to ':None)'
+            if labels is not None:
+                self.reverse_mappings[sentence_to_pascal(target)] = labels
 
         self._mapping_rows = list(rows.values())
-        self._prop_types: dict[str, dict] = {
-            cls: dict(conf.get("properties") or {}) for cls, conf in self.ontology.mapping.extended_schema.items()
-        }
 
     def mapping_df(self) -> DataFrame:
         return self.spark.createDataFrame(self._mapping_rows, _MAPPING_SCHEMA)
@@ -163,10 +163,14 @@ class SparkTranslator:
         """
         props = F.col("props")
         lic = F.element_at(props, "license")
+        # drop BOTH spellings before re-adding: an entity carrying 'license'
+        # AND 'licence' would otherwise hit DUPLICATED_MAP_KEY under the
+        # default mapKeyDedupPolicy=EXCEPTION; the reference's
+        # props['licence'] = props.pop('license') overwrites — same here
         renamed = F.when(
             lic.isNotNull(),
             F.map_concat(
-                F.map_filter(props, lambda k, v: k != "license"),
+                F.map_filter(props, lambda k, v: ~k.isin("license", "licence")),
                 F.create_map(F.lit("licence"), lic),
             ),
         ).otherwise(props)
@@ -307,7 +311,13 @@ class SparkTranslator:
         directed = F.element_at(F.col("fprops"), "directed") == F.lit("true")
         src_role = json_decode_str(F.element_at(F.col("fprops"), "src_role"))
         tar_role = json_decode_str(F.element_at(F.col("fprops"), "tar_role"))
-        has_roles = src_role.isNotNull() & tar_role.isNotNull()
+        # truthiness, not just non-null: the reference's .get(...) fallback
+        # treats EMPTY role strings as absent (IS_PART_OF), and an empty
+        # relationship label would also break the part-file layout
+        # (pascal_file_label('') == '')
+        has_roles = (
+            src_role.isNotNull() & (src_role != "") & tar_role.isNotNull() & (tar_role != "")
+        )
         ran = ran.withColumn(
             "l1",
             F.when(directed, F.lit("IS_SOURCE_OF")).when(has_roles, src_role).otherwise(F.lit("IS_PART_OF")),

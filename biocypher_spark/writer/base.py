@@ -221,7 +221,13 @@ def infer_prop_types(props: dict[str, Optional[str]]) -> dict[str, str]:
 
 
 def pascal_file_label(label: str) -> str:
-    return sentence_to_pascal(parse_label(label))
+    """File-name-safe Pascal form of a label. Never empty: a label whose
+    characters all sanitize away (e.g. a fully non-ASCII class name) falls
+    back to 'Unlabeled' — an empty partition value would be written as
+    Spark's __HIVE_DEFAULT_PARTITION__ directory while the header/import
+    call reference the empty-prefix names, silently importing zero rows
+    for that label."""
+    return sentence_to_pascal(parse_label(label)) or "Unlabeled"
 
 
 def ordered_file_assignment(lines_df: DataFrame, batch_size: int) -> DataFrame:

@@ -126,6 +126,11 @@ class Neo4jBatchWriter:
         self.edge_labels_order = self.forced_edge_labels_order or (edge_labels_order or labels_order)
         if self.node_labels_order not in _LABELS_ORDERS:
             raise ValueError(f"Invalid labels_order: {self.node_labels_order}")
+        if self.edge_labels_order not in _LABELS_ORDERS:
+            # same loud contract as the reference's match-default — a typo
+            # would otherwise silently fall through to Ascending in
+            # _all_labels' if/elif chain
+            raise ValueError(f"Invalid labels_order: {self.edge_labels_order}")
         self.batch_size = int(batch_size)
         self.validate_props = validate_props
         # ordered_parts=True reproduces the reference's arrival-order part
@@ -148,6 +153,11 @@ class Neo4jBatchWriter:
         self.duplicate_nodes: Optional[DataFrame] = None
         self.duplicate_edges: Optional[DataFrame] = None
         self._dup_chain_len: dict[str, int] = {}  # union layers since last collapse
+        # every persist() issued for seen-state bookkeeping, so a caller
+        # that repoints the seen frames at durable storage can release the
+        # superseded cache entries (Spark's CacheManager never frees them
+        # on GC; a long stream would otherwise leak O(batches x total-ids))
+        self._seen_pins: list[DataFrame] = []
 
     # -- label strings ------------------------------------------------------
 
@@ -222,8 +232,13 @@ class Neo4jBatchWriter:
         /root/reference/biocypher/output/write/_batch_writer.py:785-797)."""
         if not self.validate_props:
             return
+        # a null props map counts as the EMPTY key set (NODE_INPUT_SCHEMA
+        # allows null props) — without the coalesce the collected _keys row
+        # is None and tuple(None) raises TypeError instead of the intended
+        # consistency ValueError (or a spurious one for all-null labels)
+        keys = F.sort_array(F.map_keys(F.coalesce(F.col("props"), F.create_map())))
         sets = (
-            df.select(label_col, F.sort_array(F.map_keys("props")).alias("_keys"))
+            df.select(label_col, keys.alias("_keys"))
             .groupBy(label_col, "_keys")
             .count()
             .collect()
@@ -305,8 +320,23 @@ class Neo4jBatchWriter:
         # above), and seen is distinct by this same induction — a distinct
         # here would re-shuffle the ENTIRE cumulative seen state on every
         # call, O(all ids ever written) per micro-batch at stream scale
-        setattr(self, seen_attr, new_keys if seen is None else seen.unionByName(new_keys).persist())
+        merged = new_keys if seen is None else seen.unionByName(new_keys).persist()
+        self._seen_pins.append(new_keys)
+        if merged is not new_keys:
+            self._seen_pins.append(merged)
+        setattr(self, seen_attr, merged)
         return batch_first
+
+    def release_seen_state_pins(self) -> None:
+        """Unpersist superseded seen-state cache entries.
+
+        Call ONLY after the seen frames were repointed at durable storage
+        (stream_kg does, after each committed generation write) — until
+        then the pins back the live lazy unions, and unpersisting them
+        would force a deep lineage recompute on the next anti-join."""
+        for df in self._seen_pins:
+            df.unpersist()
+        self._seen_pins.clear()
 
     # -- nodes ----------------------------------------------------------------
 

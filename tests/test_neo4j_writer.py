@@ -259,3 +259,44 @@ def test_duplicate_metrics_chain_collapses(spark, bw):
     assert bw._dup_chain_len["duplicate_nodes"] < bw._DUP_COLLAPSE
     got = {(r["kind"], r["label"], r["dup_id"]) for r in bw.get_duplicate_nodes().collect()}
     assert got == {("node", "protein", f"p{i}") for i in range(3)}
+
+
+def test_strict_mode_tolerates_both_license_spellings(spark, schema_path):
+    """An entity carrying BOTH 'license' and 'licence' must not crash with
+    DUPLICATED_MAP_KEY — 'license' wins, matching the reference's
+    props['licence'] = props.pop('license')."""
+    t = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)), strict_mode=True)
+    nodes = t.translate_nodes(
+        nodes_from_tuples(
+            spark,
+            [("p1", "protein", {
+                "license": "MIT", "licence": "GPL",
+                "source": "s", "version": "1",
+                "name": "x", "score": 1.0, "taxon": 9606, "genes": [],
+            })],
+        )
+    )
+    rows = nodes.nodes.collect()
+    assert len(rows) == 1
+    assert rows[0]["props"]["licence"] == '"MIT"'
+
+
+def test_edge_labels_order_validated(spark, schema_path, tmp_path):
+    # Postgres writer: edge order is NOT forced, so a typo'd value must
+    # raise instead of silently falling through to Ascending
+    from biocypher_spark.writer.postgres import PostgresBatchWriter
+
+    translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    with pytest.raises(ValueError, match="Invalid labels_order"):
+        PostgresBatchWriter(
+            spark, translator, str(tmp_path), node_labels_order="Ascending",
+            edge_labels_order="leaves",
+        )
+
+
+def test_empty_sanitized_label_gets_placeholder():
+    from biocypher_spark.writer.base import pascal_file_label
+
+    assert pascal_file_label("") == "Unlabeled"
+    assert pascal_file_label("\u6f22\u5b57") == "Unlabeled"
+    assert pascal_file_label("protein") == "Protein"
