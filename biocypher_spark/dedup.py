@@ -59,10 +59,19 @@ def dedup_nodes(nodes: DataFrame, order_cols: Sequence[str] = (SEQ,)) -> DedupRe
 
 def edge_dedup_key() -> F.Column:
     """id, defaulting to ``{src}_{tgt}`` (``Deduplicator.edge_seen``,
-    /root/reference/biocypher/_deduplicate.py:67-71)."""
+    /root/reference/biocypher/_deduplicate.py:67-71).
+
+    Null endpoints coalesce to the string 'None' exactly like the
+    reference's f-string — a plain concat would return NULL for every
+    null-endpoint edge, collapsing DISTINCT edges ('a'->NULL, 'b'->NULL)
+    into one window partition and silently deduping real edges."""
     return F.coalesce(
         F.col("relationship_id"),
-        F.concat(F.col("source_id"), F.lit("_"), F.col("target_id")),
+        F.concat(
+            F.coalesce(F.col("source_id"), F.lit("None")),
+            F.lit("_"),
+            F.coalesce(F.col("target_id"), F.lit("None")),
+        ),
     )
 
 

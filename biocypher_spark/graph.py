@@ -131,7 +131,13 @@ class SparkGraph:
         props). With ``validate_nodes`` every member id must exist in
         ``nodes`` (reference raises ValueError on unknown members,
         _graph.py:430-436); arity >= 2 is always enforced."""
-        bad_arity = more.filter(F.size(F.array_distinct("node_ids")) < 2).limit(1).count()
+        # coalesce(size, -1): a NULL node_ids array makes the size (and the
+        # filter predicate) NULL, which would slip past the arity gate
+        bad_arity = (
+            more.filter(F.coalesce(F.size(F.array_distinct("node_ids")), F.lit(-1)) < 2)
+            .limit(1)
+            .count()
+        )
         if bad_arity:
             raise ValueError("Hyperedge must connect at least 2 nodes")
         if validate_nodes:
@@ -196,6 +202,9 @@ class SparkGraph:
             .select(F.array(F.col("_s"), F.col("_t")).alias("path"), F.col("_t").alias("dst"))
             .withColumn("hops", F.lit(1))
         )
+        if max_length < 1:
+            # no hops allowed -> no paths (matches SparkWorkflow.find_paths)
+            frontier = frontier.limit(0)
         results = [frontier]
         for depth in range(2, max_length + 1):
             frontier = (
@@ -334,9 +343,12 @@ class SparkGraph:
             for r in self.nodes.select("node_label").distinct().collect()
             if r["node_label"] not in schema_labels
         ]
+        # a NULL label (e.g. from allowMissingColumns unions) is reported as
+        # the string '<null>' — sorted() cannot order None next to str
+        unknown = sorted("<null>" if u is None else u for u in unknown)
         if unknown and mode == "strict":
-            raise ValueError(f"Unknown node labels not in schema: {sorted(unknown)}")
-        return sorted(unknown)
+            raise ValueError(f"Unknown node labels not in schema: {unknown}")
+        return unknown
 
     # -- (de)serialization (G6) ------------------------------------------------------------
 
@@ -350,8 +362,18 @@ class SparkGraph:
 
     @classmethod
     def from_json(cls, spark, path: str) -> "SparkGraph":
+        from .model import EDGE_SCHEMA, NODE_SCHEMA
+
+        # an all-empty JSON dir reads back with NO schema (zero columns);
+        # substitute the canonical empty frame so a zero-edge (or zero-node)
+        # graph round-trips — otherwise every downstream groupBy/anti-join
+        # fails with an unresolved-column AnalysisException
         nodes = spark.read.json(f"{path}/nodes")
+        if not nodes.columns:
+            nodes = spark.createDataFrame([], NODE_SCHEMA)
         edges = spark.read.json(f"{path}/edges")
+        if not edges.columns:
+            edges = spark.createDataFrame([], EDGE_SCHEMA)
         try:
             hyper = spark.read.json(f"{path}/hyperedges")
             if not hyper.columns:  # all-empty JSON dir -> no schema

@@ -39,6 +39,10 @@ class SparkWorkflow:
         self.deduplication = deduplication
         self._nodes: dict[str, dict] = {}
         self._edges: dict[str, dict] = {}
+        # dedup tracking is keyed (edge_id, edge_type) like the reference's
+        # _seen_edges (_workflow.py:231-238) — storage stays id-keyed, so a
+        # re-used id under a NEW type is a silent False, not a dup error
+        self._seen_edge_keys: set[tuple] = set()
         self._hyperedges: dict[str, dict] = {}
         if schema_file:
             import yaml
@@ -113,13 +117,23 @@ class SparkWorkflow:
     # -- edge ops ----------------------------------------------------------------
 
     def add_edge(self, edge_id: str, edge_type: str, source: str, target: str, **properties) -> bool:
-        if not self._check("edge", edge_id, edge_type, properties, edge_id in self._edges):
+        if not self._check(
+            "edge", edge_id, edge_type, properties, (edge_id, edge_type) in self._seen_edge_keys
+        ):
             return False
         if edge_id in self._edges:
             return False
+        # reference Graph.add_edge raises on dangling endpoints
+        # (_graph.py:306-309); a silently-accepted dangling edge would later
+        # crash find_connected_components' node lookup
+        if source not in self._nodes:
+            raise ValueError(f"Source node '{source}' does not exist")
+        if target not in self._nodes:
+            raise ValueError(f"Target node '{target}' does not exist")
         self._edges[edge_id] = {
             "id": edge_id, "type": edge_type, "source": source, "target": target, "properties": properties,
         }
+        self._seen_edge_keys.add((edge_id, edge_type))
         return True
 
     def get_edge(self, edge_id: str):
@@ -202,12 +216,18 @@ class SparkWorkflow:
     def find_connected_components(self, node_id: str, max_depth: int = 2) -> dict:
         if node_id not in self._nodes:
             return {"nodes": [], "edges": [], "hyperedges": []}
+        # adjacency built ONCE (get_neighbors per frontier node is a full
+        # edge scan per node — quadratic on dense components)
+        adj: dict[str, set] = {}
+        for e in self._edges.values():
+            adj.setdefault(e["source"], set()).add(e["target"])
+            adj.setdefault(e["target"], set()).add(e["source"])
         seen = {node_id}
         frontier = {node_id}
         for _ in range(max_depth):
             nxt = set()
             for n in frontier:
-                nxt |= self.get_neighbors(n)
+                nxt |= adj.get(n, set())
             frontier = nxt - seen
             seen |= frontier
             if not frontier:
@@ -252,7 +272,14 @@ class SparkWorkflow:
         node_types = dist(self._nodes.values())
         edge_types = dist(self._edges.values())
         hyper_types = dist(self._hyperedges.values())
-        isolated = sum(1 for n in self._nodes if not self.get_neighbors(n))
+        # one O(E) endpoint sweep, not get_neighbors per node (O(N*E) —
+        # repr()/copy()/to_dict() all route through here); identical
+        # semantics incl. self-loops counting as connected
+        touched: set = set()
+        for e in self._edges.values():
+            touched.add(e["source"])
+            touched.add(e["target"])
+        isolated = sum(1 for n in self._nodes if n not in touched)
         return {
             "basic": {
                 "nodes": len(self._nodes),

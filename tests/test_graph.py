@@ -187,3 +187,47 @@ def test_remove_edge_keeps_null_id_edges(spark, g):
     assert ("b", "c") not in remaining
     # null-id edges from 'a' survive
     assert {("a", "b"), ("a", "c")} <= remaining
+
+
+def test_edge_less_graph_round_trips_json(spark, tmp_path):
+    """A graph with zero edges must survive to_json/from_json: the empty
+    JSON dir reads back schemaless and is substituted with the canonical
+    empty frame."""
+    from biocypher_spark.graph import SparkGraph
+    from biocypher_spark.model import EDGE_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [("n1", "Protein", "id", {}, 0)],
+        "node_id string, node_label string, preferred_id string, props map<string,string>, _seq long",
+    )
+    g = SparkGraph(nodes, spark.createDataFrame([], EDGE_SCHEMA))
+    p = str(tmp_path / "g")
+    g.to_json(p)
+    back = SparkGraph.from_json(spark, p)
+    stats = back.statistics()
+    assert back.edges.count() == 0 and back.nodes.count() == 1
+    assert back.get_neighbors("n1").count() == 0
+    assert stats is not None
+
+
+def test_validate_reports_null_label(spark):
+    from biocypher_spark.graph import SparkGraph
+    from biocypher_spark.model import EDGE_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [("n1", None, "id", {}, 0)],
+        "node_id string, node_label string, preferred_id string, props map<string,string>, _seq long",
+    )
+    g = SparkGraph(nodes, spark.createDataFrame([], EDGE_SCHEMA))
+    assert g.validate({"protein"}, mode="warn") == ["<null>"]
+
+
+def test_find_paths_zero_max_length(spark):
+    from biocypher_spark.graph import SparkGraph
+    from biocypher_spark.model import EDGE_SCHEMA, NODE_SCHEMA
+
+    nodes = spark.createDataFrame([("a", "T", "id", {}, 0), ("b", "T", "id", {}, 1)], NODE_SCHEMA)
+    edges = spark.createDataFrame([("e1", "a", "b", "R", {}, 0)], EDGE_SCHEMA)
+    g = SparkGraph(nodes, edges)
+    assert g.find_paths("a", max_length=0).count() == 0
+    assert g.find_paths("a", max_length=1).count() == 1

@@ -141,3 +141,39 @@ def test_to_spark_graph_bridge(wf, spark):
     comp = {r["node"]: r["comp"] for r in g.connected_components().collect()}
     assert comp["p1"] == comp["p2"] == comp["d1"]
     assert comp["iso"] == "iso"
+
+
+def test_add_edge_requires_existing_endpoints():
+    """Reference Graph.add_edge raises ValueError on dangling endpoints
+    (_graph.py:306-309); a silently-accepted dangling edge would crash
+    find_connected_components' node lookup."""
+    import pytest as _pytest
+
+    from biocypher_spark.workflow import SparkWorkflow
+
+    wf = SparkWorkflow()
+    wf.add_node("a", "t")
+    with _pytest.raises(ValueError, match="does not exist"):
+        wf.add_edge("e1", "rel", "a", "b")
+    wf.add_node("b", "t")
+    assert wf.add_edge("e1", "rel", "a", "b") is True
+
+
+def test_edge_dedup_keyed_on_id_and_type():
+    """Reference keys _seen_edges on (edge_id, edge_type): re-using an id
+    under a NEW type is a silent False (storage is id-keyed), not a
+    strict-mode duplicate error."""
+    from biocypher_spark.workflow import SparkWorkflow
+
+    wf = SparkWorkflow(deduplication=True, validation_mode="strict")
+    for n in ("a", "b"):
+        wf.add_node(n, "t")
+    assert wf.add_edge("e1", "typeA", "a", "b") is True
+    # same id, different type: NOT a dup per the (id, type) key; the
+    # id-keyed storage then rejects it silently
+    assert wf.add_edge("e1", "typeB", "a", "b") is False
+    # same (id, type): strict mode raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Duplicate edge ID"):
+        wf.add_edge("e1", "typeA", "a", "b")
