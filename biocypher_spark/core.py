@@ -99,7 +99,11 @@ class BioCypherSpark:
 
     def _stage(self, entities: Union[DataFrame, Iterable], kind: Optional[str] = None):
         if isinstance(entities, DataFrame):
-            return entities, (kind or ("edge" if "src" in entities.columns else "node"))
+            from .model import with_seq
+
+            # a user-staged frame without the arrival-order column would
+            # crash deep in translate/dedup on UNRESOLVED_COLUMN `_seq`
+            return with_seq(entities), (kind or ("edge" if "src" in entities.columns else "node"))
         entities = list(entities)
         if not entities:
             return None, kind
@@ -194,25 +198,40 @@ class BioCypherSpark:
             self._accumulate_missing(out.missing)
             self.online_writer.write_nodes(out.nodes)
             return True
+        if self.offline:
+            # reference parity: merge_* are _add_* aliases, and _add_nodes
+            # writes the batch layout when offline (_core.py:375-413) —
+            # routing to the in-memory KG here would silently skip the
+            # part files an adapter expects before write_import_call()
+            return self.write_nodes(entities)
         self.add(entities)
         return True
 
     def merge_edges(self, entities) -> bool:
-        """Upsert edges (and rel-as-node triplets) online, else ``add``."""
+        """Upsert edges (and rel-as-node triplets) online; offline they
+        write the batch layout like the reference's _add_edges alias."""
         if not self.offline and self.dbms == "neo4j" and self.session_factory is not None:
             staged, _ = self._stage(entities, "edge")
             if staged is None:
                 return True
             out = self.translator.translate_edges(staged)
             self._accumulate_missing(out.missing)
-            if out.ran_nodes is not None:
+            # gate on the SCHEMA: translate_edges always returns frames, so
+            # a frame-None check can never skip — without rel-as-node
+            # classes these were two extra Bolt foreachPartition jobs over
+            # provably-empty frames on every merge call
+            from .pipeline import schema_has_rel_as_node
+
+            if schema_has_rel_as_node(self.mapping):
                 from .translate import RAN_HIDDEN_COLS
 
                 self.online_writer.write_nodes(out.ran_nodes.drop(*RAN_HIDDEN_COLS))
             self.online_writer.write_edges(out.edges)
-            if out.ran_edges is not None:
+            if schema_has_rel_as_node(self.mapping):
                 self.online_writer.write_edges(out.ran_edges)
             return True
+        if self.offline:
+            return self.write_edges(entities)
         self.add(entities)
         return True
 
@@ -284,6 +303,12 @@ class BioCypherSpark:
                 else self._schema_info_node(info),
                 **force_kw,
             )
+            # the reference regenerates the import call after appending the
+            # schema_info node (_core.py:789) — without it a call file
+            # written earlier predates the schema_info part file and the
+            # node is silently absent from the imported database
+            if hasattr(self.writer, "write_import_call"):
+                self.writer.write_import_call()
         return info
 
     def _schema_info_node(self, info: dict) -> DataFrame:

@@ -71,7 +71,23 @@ class InMemoryKG:
         first = df.select(F.map_keys("props").alias("k"), F.map_values("props").alias("v")).head(1)
         if not first:
             return {}
-        return infer_prop_types(dict(zip(first[0]["k"] or [], first[0]["v"] or [])))
+        # the first row's key order anchors the column order (stable for
+        # homogeneous batches), but the INFERRED SET is the key union of
+        # the whole batch — head(1) alone silently and permanently dropped
+        # properties present only on other rows (the reference's PandasKG
+        # json_normalize keeps the union). min(v) picks a deterministic
+        # sample value per extra key for type inference.
+        head_props = dict(zip(first[0]["k"] or [], first[0]["v"] or []))
+        extra = (
+            df.select(F.explode("props").alias("k", "v"))
+            .filter(~F.col("k").isin(*head_props) if head_props else F.lit(True))
+            .groupBy("k")
+            .agg(F.min("v").alias("v"))
+            .collect()
+        )
+        for r in sorted(extra, key=lambda r: r["k"]):
+            head_props[r["k"]] = r["v"]
+        return infer_prop_types(head_props)
 
     def add_nodes(self, nodes: DataFrame) -> None:
         res = dedup_nodes(nodes)
@@ -94,6 +110,15 @@ class InMemoryKG:
     def add_edges(self, edges) -> None:
         if isinstance(edges, TranslatedEdges):
             kept_nodes, kept_edges, _ = dedup_rel_as_nodes(edges.ran_nodes, edges.ran_edges)
+            # cross-BATCH rel-as-node dedup skips the whole TRIPLET, like
+            # the reference's rel_as_node_seen: when the reified node id was
+            # seen in an earlier add() its helper edges must be dropped too
+            # — deduping nodes and edges independently would admit orphan
+            # helper edges from a duplicate id arriving with new endpoints
+            if self._seen_nodes is not None:
+                kept_nodes = materialize(kept_nodes.join(self._seen_nodes, "node_id", "left_anti"))
+                surviving = kept_nodes.select(F.col("node_id").alias("target_id"))
+                kept_edges = kept_edges.join(surviving, "target_id", "left_semi")
             if kept_nodes.limit(1).count() > 0:
                 self.add_nodes(kept_nodes)
                 self._add_edge_frames(kept_edges)

@@ -208,7 +208,10 @@ def decode_image(content: bytes, format: Optional[str] = None) -> np.ndarray:
     raises (plug PIL / soundfile / av in here in production)."""
     fmt = str(format) if format is not None else ""
     buf = bytes(content)
-    if fmt.startswith("fake/") or (not fmt and not buf[:4] in (b"RIFF",) and not buf.startswith(b"P6")):
+    if fmt.startswith("fake/"):
+        # the stub is OPT-IN via the format tag — an unrecognized payload
+        # with no format must raise below, not silently produce sha noise
+        # that near-dup math would then treat as real features
         return _fake_decode(content)
     if fmt in ("image/ppm", "ppm") or buf.startswith(b"P6"):
         gray = decode_ppm(buf).astype(np.float32).mean(axis=2) / 255.0
@@ -231,9 +234,12 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     videos does not straggle. The per-batch work is vectorized over the
     batch (single numpy stack per Arrow batch).
     """
-    sized = media.withColumn("_sz", F.length("content"))
+    # hash repartition on media_id: it spreads bytes evenly in expectation.
+    # (repartitionByRange on size was tried first and is WRONG here: equal
+    # ROW counts of contiguous size ranges put all the huge payloads into
+    # the top-range partition — the exact straggler it meant to avoid.)
     n = media.sparkSession.sparkContext.defaultParallelism * 2
-    balanced = sized.repartitionByRange(n, F.col("_sz"), F.col("media_id")).drop("_sz")
+    balanced = media.repartition(n, F.col("media_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -351,7 +357,10 @@ def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame
     payloads keep the deterministic sha-derived stub (the oracle corpus
     carries no decodable raster). The Spark-side shape (schema, batching,
     one row per input) is identical for both."""
-    dim = min(width * height, 32)
+    # the thumb always carries width*height values — truncating (an earlier
+    # 32-value cap) while reporting the full requested dims broke any
+    # consumer reshaping thumb to (height, width)
+    dim = width * height
 
     def _thumb_bytes(content: bytes, fmt) -> list[int]:
         buf = bytes(content)
@@ -361,9 +370,10 @@ def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame
             ys = (np.arange(height) * h) // height
             xs = (np.arange(width) * w) // width
             small = px[ys][:, xs].astype(np.float32).mean(axis=2).round().astype(np.uint8)
-            return [int(v) for v in small.ravel()[:dim]]
+            return [int(v) for v in small.ravel()]
         digest = hashlib.sha256(buf).digest()
-        return [int(b) for b in digest[:dim]]
+        reps = -(-dim // len(digest))
+        return [int(b) for b in (digest * reps)[:dim]]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -384,10 +394,29 @@ def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame
 
 
 def media_near_dup(media: DataFrame) -> DataFrame:
-    """Exact content dedup by sha + feature-space near-dup via the shared
-    similarity operators (composes with similarity.embedding_near_dup)."""
-    feats = extract_features(media)
-    exact = feats.groupBy("content_sha").agg(
-        F.min("media_id").alias("rep_id"), F.count(F.lit(1)).alias("n")
+    """Exact content dedup groups by sha-256 of the payload.
+
+    Computed JVM-side with ``F.sha2`` — the earlier version ran the full
+    Python decode pipeline only to discard the features. For feature-space
+    near-dup use :func:`media_feature_near_dup`."""
+    return (
+        media.select("media_id", F.sha2("content", 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("media_id").alias("rep_id"), F.count(F.lit(1)).alias("n"))
     )
-    return exact
+
+
+def media_feature_near_dup(media: DataFrame, threshold: float = 0.95, **lsh_kwargs) -> DataFrame:
+    """Feature-space near-duplicate PAIRS: decode to FEATURE_DIM vectors
+    (Arrow-batched), then the shared banded-LSH operator
+    (:func:`similarity.embedding_near_dup`) — the same sub-quadratic
+    candidate/verify shape as text and embedding dedup. Returns
+    (mode-less) (va, vb, cos) with media_ids as the vector ids."""
+    from .similarity import embedding_near_dup
+
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return embedding_near_dup(
+        feats, threshold=threshold, dims=FEATURE_DIM, **lsh_kwargs
+    ).select(F.col("va").alias("media_a"), F.col("vb").alias("media_b"), "cos")

@@ -173,3 +173,49 @@ def test_in_memory_cross_call_dedup(bc):
     bc.add(perturbed_edges(3)[1:])
     bc.add(perturbed_edges(3)[1:])
     assert bc.get_kg()["PERTURBED_IN_DISEASE"].count() == 2
+
+
+def test_offline_merge_writes_batch_layout(spark, tmp_path, schema_path):
+    """Reference parity: merge_* are _add_* aliases, which write the batch
+    layout when offline — not silently accumulate in the in-memory KG."""
+    import os
+
+    from biocypher_spark.core import BioCypherSpark
+    from fixtures.data_generator import protein_nodes
+
+    bc = BioCypherSpark(spark, output_directory=str(tmp_path), schema_config_path=schema_path)
+    assert bc.merge_nodes(protein_nodes(2))
+    bc.write_import_call()
+    assert os.path.isfile(tmp_path / "Protein-part000.csv")
+
+
+def test_staged_dataframe_without_seq(spark, tmp_path, schema_path):
+    """A user-staged frame lacking the _seq ordering column must be
+    accepted (with_seq attaches it) instead of UNRESOLVED_COLUMN."""
+    from biocypher_spark.core import BioCypherSpark
+
+    bc = BioCypherSpark(spark, output_directory=str(tmp_path), schema_config_path=schema_path)
+    df = spark.createDataFrame(
+        [("p1", "protein", {"name": '"x"', "score": "1.0", "taxon": "9606", "genes": "[]"})],
+        "id string, input_label string, props map<string,string>",
+    )
+    bc.add(df)
+    kg = bc.get_kg()
+    assert any(frame.count() == 1 for frame in kg.values())
+
+
+def test_inmemory_prop_union_across_rows(spark, tmp_path, schema_path):
+    """Property columns are the key UNION of the batch, not just the first
+    row's keys (microRNA has no declared properties -> inference)."""
+    from biocypher_spark.core import BioCypherSpark
+
+    bc = BioCypherSpark(spark, output_directory=str(tmp_path), schema_config_path=schema_path)
+    bc.add([
+        ("m1", "mirna", {"name": "x"}),
+        ("m2", "mirna", {"name": "y", "taxon": 9606}),
+    ])
+    kg = bc.get_kg()
+    mirna = next(df for label, df in kg.items() if label.lower() == "microrna")
+    assert "taxon" in mirna.columns
+    rows = {r["id"]: r for r in mirna.collect()}
+    assert rows["m2"]["taxon"] == 9606 and rows["m1"]["taxon"] is None

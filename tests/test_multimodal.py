@@ -147,3 +147,38 @@ def test_real_image_resize(spark):
     xs = (np.arange(4) * w) // 4
     expect = px[ys][:, xs].astype(np.float32).mean(axis=2).round().astype(np.uint8).ravel()
     assert list(out["i0"]["thumb"]) == [int(v) for v in expect]
+
+
+def test_decode_unknown_payload_raises():
+    """The sha stub is opt-in via format='fake/*'; an unrecognized payload
+    with no format tag must raise, not silently produce sha noise."""
+    import pytest as _pytest
+
+    from biocypher_spark.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....", None)
+
+
+def test_resize_thumb_carries_full_dims(spark):
+    from biocypher_spark.multimodal import media_from_documents, resize_media
+
+    docs = spark.createDataFrame([(1, "hello world " * 10)], "doc_id long, text string")
+    media = media_from_documents(docs)
+    rows = resize_media(media, width=8, height=8).collect()
+    assert rows and all(len(r["thumb"]) == 64 for r in rows)
+
+
+def test_media_feature_near_dup_pairs(spark):
+    from biocypher_spark.multimodal import media_feature_near_dup, media_from_documents
+
+    docs = spark.createDataFrame(
+        [(1, "same payload text"), (2, "same payload text"), (3, "totally different !!")],
+        "doc_id long, text string",
+    )
+    media = media_from_documents(docs)
+    pairs = media_feature_near_dup(media, threshold=0.999)
+    got = {(r["media_a"], r["media_b"]) for r in pairs.collect()}
+    # identical payloads -> identical features -> cos 1.0 pair; the
+    # different doc must not pair with both at 0.999
+    assert any(a != b for a, b in got)

@@ -139,9 +139,14 @@ def test_merge_facade_online(spark, schema_path, tmp_path):
     assert NODE_MERGE_CYPHER in queries and EDGE_MERGE_CYPHER in queries and EDGE_STUB_CYPHER in queries
 
 
-def test_merge_facade_offline_falls_back_to_inmemory(spark, schema_path, tmp_path):
+def test_merge_facade_offline_writes_batch_layout(spark, schema_path, tmp_path):
+    """Offline merge_* write the batch layout (reference: merge_* are
+    _add_* aliases and _add_nodes routes to the writer when offline,
+    _core.py:375-413) — they do NOT accumulate in the in-memory KG."""
+    import os
+
     from biocypher_spark.core import BioCypherSpark
 
     bc = BioCypherSpark(spark, schema_config_path=schema_path, output_directory=str(tmp_path / "out"))
     assert bc.merge_nodes(protein_nodes(2))
-    assert "protein" in bc.get_kg()
+    assert os.path.isfile(tmp_path / "out" / "Protein-part000.csv")
