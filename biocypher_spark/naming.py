@@ -80,8 +80,12 @@ def parse_label(label: str) -> str:
     """Strip characters Neo4j label names cannot contain.
 
     Keeps ``[a-zA-Z0-9_$ .]``; drops leading characters until one that is
-    alphabetic or ``$``; returns ``""`` if nothing survives.
-    (Reference semantics: ``parse_label``,
+    alphabetic or ``$`` — but when NO such character exists the compliant
+    characters are kept as-is (reference: the rescan loop never fires and
+    ``matches`` is returned unchanged, so '123' stays '123' rather than
+    collapsing to '' — distinct all-numeric labels must not merge into one
+    placeholder file). Returns ``""`` only when nothing survives the
+    charset filter. (Reference semantics: ``parse_label``,
     /root/reference/biocypher/output/write/_batch_writer.py:1240-1277.)
     """
     kept = _ALLOWED.findall(label)
@@ -93,8 +97,6 @@ def parse_label(label: str) -> str:
             if c.isalpha() or c == "$":
                 start = i
                 break
-        else:
-            return ""
     return "".join(kept[start:]).strip()
 
 

@@ -38,8 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..model import json_pystr
-from ..naming import sentence_to_pascal
-from .rdf import RDFWriter, _escape_literal
+from .rdf import RDFWriter, _escape_literal, _pascal_term
 
 OWL_NS = "http://www.w3.org/2002/07/owl#"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -64,6 +63,14 @@ class OWLWriter(RDFWriter):
             raise ValueError(
                 f"`edge_model` cannot be {edge_model!r}, but should be either: "
                 + " or ".join(EDGE_MODELS)
+            )
+        if rdf_format not in ("ntriples", "nt", "turtle", "ttl"):
+            # the OWL template emits triple LINES under a turtle header;
+            # xml/json-ld/trig/trix would silently produce a file that is
+            # turtle prefixes + triple lines + a foreign footer — corrupt
+            # in every parser. Loud error instead.
+            raise ValueError(
+                f"OWLWriter supports rdf_format 'ntriples' or 'turtle', not {rdf_format!r}"
             )
         super().__init__(spark, translator, output_directory, namespace, rdf_format)
         self.edge_model = edge_model
@@ -92,17 +99,25 @@ class OWLWriter(RDFWriter):
     # -- vocabulary (driver-side, tiny) ----------------------------------------
 
     def _add_class_vocabulary(self, labels: list[str]) -> None:
-        """Ancestor chains of the labels in use -> subClassOf + owl:Class."""
+        """Ancestor closure of the labels in use -> subClassOf + owl:Class.
+
+        subClassOf edges come from the ontology's ACTUAL parent DAG, not
+        consecutive pairs of the DFS-preorder ancestor chain: with multiple
+        inheritance the chain [L, A, Root, B] would fabricate
+        'Root subClassOf B' and never emit the real 'L subClassOf B'."""
         chains = self.translator.ontology.ancestor_map(labels)
-        for chain in chains.values():
-            for child, parent in zip(chain, chain[1:]):
-                c = self._const(sentence_to_pascal(child))
-                p = self._const(sentence_to_pascal(parent))
-                self._vocab.append(f"{c} {self._rdfs('subClassOf')} {p} .")
-            for cls in chain:
-                self._vocab.append(
-                    f"{self._const(sentence_to_pascal(cls))} {self._rdf_type} {self._owl('Class')} ."
-                )
+        closure = sorted({cls for chain in chains.values() for cls in chain})
+        parents = getattr(self.translator.ontology, "_parents", {})
+        for child in closure:
+            for parent in parents.get(child, []):
+                if parent in closure:
+                    c = self._const(_pascal_term(child))
+                    p = self._const(_pascal_term(parent))
+                    self._vocab.append(f"{c} {self._rdfs('subClassOf')} {p} .")
+        for cls in closure:
+            self._vocab.append(
+                f"{self._const(_pascal_term(cls))} {self._rdf_type} {self._owl('Class')} ."
+            )
 
     def _association_vocabulary(self, edge_labels: list[str]) -> None:
         edge = self._const("edge")
@@ -110,7 +125,7 @@ class OWLWriter(RDFWriter):
         for role in ("edge_source", "edge_target"):
             self._vocab.append(f"{self._const(role)} {self._rdfs('subPropertyOf')} {edge} .")
         for label in edge_labels:
-            cls = self._const(sentence_to_pascal(label))
+            cls = self._const(_pascal_term(label))
             self._vocab.append(f"{cls} {self._rdf_type} {self._owl('Class')} .")
 
     # -- instances (distributed) --------------------------------------------------
@@ -120,7 +135,7 @@ class OWLWriter(RDFWriter):
         self._add_class_vocabulary(labels)
         subject = self._term(F.col("node_id"))
         label_to_class = F.create_map(
-            *[x for lab in labels for x in (F.lit(lab), F.lit(self._const(sentence_to_pascal(lab))))]
+            *[x for lab in labels for x in (F.lit(lab), F.lit(self._const(_pascal_term(lab))))]
         )
         cls = F.element_at(label_to_class, F.col("node_label"))
         head = F.array(
@@ -148,7 +163,7 @@ class OWLWriter(RDFWriter):
     def write_edges(self, edges: DataFrame) -> bool:
         labels = [r[0] for r in edges.select("relationship_label").distinct().collect()]
         label_to_pred = F.create_map(
-            *[x for lab in labels for x in (F.lit(lab), F.lit(self._const(sentence_to_pascal(lab))))]
+            *[x for lab in labels for x in (F.lit(lab), F.lit(self._const(_pascal_term(lab))))]
         )
         pred = F.element_at(label_to_pred, F.col("relationship_label"))
         src = self._term(F.col("source_id"))
@@ -156,7 +171,7 @@ class OWLWriter(RDFWriter):
         if self.edge_model == "ObjectProperty":
             for label in labels:
                 self._vocab.append(
-                    f"{self._const(sentence_to_pascal(label))} {self._rdf_type} "
+                    f"{self._const(_pascal_term(label))} {self._rdf_type} "
                     f"{self._owl('ObjectProperty')} ."
                 )
             lines = edges.select(

@@ -9,13 +9,17 @@ graph into an rdflib store. N-Triples is fully line-oriented; turtle / xml
 / json-ld add a constant header/footer spliced in during the single-file
 copy. Nodes become ``<id> rdf:type <Class>`` plus one triple per property
 (reference node triples :347-417); edges with an id are reified through
-rdf:subject/rdf:predicate/rdf:object (reference edge reification :183-266),
-id-less edges become direct triples."""
+BIOCYPHER-namespaced ``bc:subject``/``bc:object`` with one triple per edge
+property, and each edge file types its class ``rdfs:Class`` (reference
+edge reification + class typing :183-266, 394-398); id-less edges become
+direct triples (documented deviation: nothing to reify or hang properties
+on)."""
 
 from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -47,6 +51,27 @@ def _safe_id(col):
     return F.regexp_replace(col, "[^a-zA-Z0-9_.:-]", "_")
 
 
+def _pn_local(col):
+    """Turtle PN_LOCAL-safe local name — SAME charset as :func:`_iri` (':'
+    and '.' are legal inside PN_LOCAL), so one entity gets one IRI across
+    formats; only the grammar's positional rules differ: no leading '-'
+    or '.', no trailing '.'."""
+    safe = F.regexp_replace(col, "[^a-zA-Z0-9_.:-]", "_")
+    safe = F.regexp_replace(safe, "^[-.]", "_")
+    return F.regexp_replace(safe, "\\.$", "_")
+
+
+def _pascal_term(label: str) -> str:
+    """Driver-side IRI/XML-name/PN_LOCAL-safe Pascal class name. Labels are
+    user vocabulary too — unsanitized they put spaces/quotes into IRIs and
+    XML element names ('gene (human)' -> 'Gene (human)'), which parsers
+    reject file-wide."""
+    p = re.sub(r"[^a-zA-Z0-9_.-]", "_", sentence_to_pascal(label))
+    if not p or not re.match(r"[A-Za-z_]", p[0]):
+        p = "_" + p
+    return p
+
+
 def _escape_xml(col):
     """XML text-content escaping (property literals land in element text, so
     only the three mandatory entities are needed; IRIs in attributes are
@@ -75,6 +100,7 @@ SUPPORTED_FORMATS = (
 )
 
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 _TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
 
 
@@ -135,18 +161,21 @@ class RDFWriter:
                 "<rdf:RDF\n"
                 f'   xmlns:bc="{self.ns}"\n'
                 '   xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+                '   xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
                 ">\n"
             )
         if self.jsonld:
             return (
                 "{\n"
                 f'  "@context": {{"bc": "{self.ns}", '
-                '"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"},\n'
+                '"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#", '
+                '"rdfs": "http://www.w3.org/2000/01/rdf-schema#"},\n'
                 '  "@graph": [\n'
             )
         turtle_header = (
             f"@prefix bc: <{self.ns}> .\n"
-            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n\n"
+            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+            "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n\n"
         )
         if self.trig:
             # TriG: the same turtle triples inside a default-graph block
@@ -189,8 +218,19 @@ class RDFWriter:
     def _term(self, col):
         """Subject/predicate/object term from a column value."""
         if self.turtle:
-            return F.concat(F.lit("bc:"), F.regexp_replace(col, "[^a-zA-Z0-9_-]", "_"))
+            return F.concat(F.lit("bc:"), _pn_local(col))
         return _iri(self.ns, col)
+
+    def _prop_entries(self):
+        """props entries minus null/empty values: the reference's property
+        loops are guarded with ``if value:`` so its output never carries
+        '\"None\"'/'\"\"' literals. (We keep 0/False — unlike the reference's
+        full-falsy skip — since they are real data; only the two
+        no-information renderings are dropped.)"""
+        return F.filter(
+            F.map_entries("props"),
+            lambda e: ~json_pystr(e["value"]).isin("None", ""),
+        )
 
     def _const(self, pascal_name: str) -> str:
         return f"bc:{pascal_name}" if self.turtle else f"<{self.ns}{pascal_name}>"
@@ -201,11 +241,14 @@ class RDFWriter:
 
     @property
     def _rdf_subject(self) -> str:
-        return "rdf:subject" if self.turtle else RDF_SUBJECT
+        # the reference namespaces subject/object in the BIOCYPHER
+        # namespace (as_uri('subject', 'biocypher'), _rdf.py:240-252), not
+        # rdf: — SPARQL written against reference output matches bc:subject
+        return "bc:subject" if self.turtle else f"<{self.ns}subject>"
 
     @property
     def _rdf_object(self) -> str:
-        return "rdf:object" if self.turtle else RDF_OBJECT
+        return "bc:object" if self.turtle else f"<{self.ns}object>"
 
     def _sanitized_props(self):
         """props map with 'bc:'-prefixed IRI-sanitized keys and JSON-string
@@ -217,7 +260,7 @@ class RDFWriter:
         formats emit both colliding triples; one JSON object cannot, so the
         first entry (map_entries preserves insertion order) is kept."""
         sanitized = F.transform(
-            F.map_entries("props"),
+            self._prop_entries(),
             lambda e: F.struct(
                 F.concat(F.lit("bc:"), _safe_id(e["key"])).alias("key"),
                 json_pystr(e["value"]).alias("value"),
@@ -231,10 +274,16 @@ class RDFWriter:
 
     def write_nodes(self, nodes: DataFrame) -> list[str]:
         written = []
+        # a NULL props map would otherwise null out concat()/map_concat()
+        # chains: the node would vanish from nt/ttl/trix (explode of NULL)
+        # and corrupt the JSON-LD array — normalize to the empty map once
+        nodes = nodes.withColumn(
+            "props", F.coalesce(F.col("props"), F.create_map().cast("map<string,string>"))
+        )
         labels = [r[0] for r in nodes.select("node_label").distinct().collect()]
         for label in labels:
             sub = nodes.filter(F.col("node_label") == label)
-            pascal = sentence_to_pascal(label)
+            pascal = _pascal_term(label)
             if self.jsonld:
                 # one JSON object per node row; all string values, escaped
                 # JVM-side by to_json (props merged as a dynamic-key map)
@@ -267,7 +316,7 @@ class RDFWriter:
                     subj, F.lit(f"<uri>{_RDF_NS}type</uri><uri>{self.ns}{pascal}</uri></triple>")
                 )
                 prop_lines = F.transform(
-                    F.map_entries("props"),
+                    self._prop_entries(),
                     lambda e: F.concat(
                         subj,
                         F.lit(f"<uri>{self.ns}"),
@@ -288,7 +337,7 @@ class RDFWriter:
                 prop_els = F.concat_ws(
                     "",
                     F.transform(
-                        F.map_entries("props"),
+                        self._prop_entries(),
                         lambda e: F.concat(
                             F.lit("    <bc:"),
                             _xml_name(e["key"]),
@@ -314,7 +363,7 @@ class RDFWriter:
                 cls = self._const(pascal)
                 type_line = F.concat(subject, F.lit(f" {self._rdf_type} {cls} ."))
                 prop_lines = F.transform(
-                    F.map_entries("props"),
+                    self._prop_entries(),
                     lambda e: F.concat(
                         subject,
                         F.lit(" "),
@@ -332,10 +381,13 @@ class RDFWriter:
 
     def write_edges(self, edges: DataFrame) -> list[str]:
         written = []
+        edges = edges.withColumn(
+            "props", F.coalesce(F.col("props"), F.create_map().cast("map<string,string>"))
+        )
         labels = [r[0] for r in edges.select("relationship_label").distinct().collect()]
         for label in labels:
             sub = edges.filter(F.col("relationship_label") == label)
-            pascal = sentence_to_pascal(label)
+            pascal = _pascal_term(label)
             if self.jsonld:
                 ref = lambda col: F.struct(F.concat(F.lit("bc:"), _safe_id(col)).alias("@id"))  # noqa: E731
                 direct = F.to_json(
@@ -344,24 +396,32 @@ class RDFWriter:
                         ref(F.col("target_id")).alias(f"bc:{pascal}"),
                     )
                 )
-                reified = F.to_json(
+                base = F.to_json(
                     F.struct(
                         F.concat(F.lit("bc:"), _safe_id(F.col("relationship_id"))).alias("@id"),
                         F.lit(f"bc:{pascal}").alias("@type"),
-                        ref(F.col("source_id")).alias("rdf:subject"),
-                        ref(F.col("target_id")).alias("rdf:object"),
+                        ref(F.col("source_id")).alias("bc:subject"),
+                        ref(F.col("target_id")).alias("bc:object"),
                     )
+                )
+                # splice the (string-valued) sanitized props object into the
+                # reified JSON — struct fields are fixed-typed, a map can't
+                # mix the @id refs with string props, so merge textually
+                sp = self._sanitized_props()
+                reified = F.concat(
+                    F.regexp_replace(base, "\\}$", ""),
+                    F.when(
+                        F.size(sp) > 0,
+                        F.concat(F.lit(","), F.regexp_replace(F.to_json(sp), "^\\{", "")),
+                    ).otherwise(F.lit("}")),
                 )
                 lines = sub.select(
                     F.when(F.col("relationship_id").isNotNull(), reified)
                     .otherwise(direct)
                     .alias("value")
                 )
-                written.append(
-                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
-                )
-                continue
-            if self.trix:
+                cls_line = f'{{"@id": "bc:{pascal}", "@type": "rdfs:Class"}}'
+            elif self.trix:
                 uri = lambda col: F.concat(F.lit(f"<uri>{self.ns}"), _safe_id(col), F.lit("</uri>"))  # noqa: E731
                 direct = F.concat(
                     F.lit("    <triple>"),
@@ -371,27 +431,43 @@ class RDFWriter:
                     F.lit("</triple>"),
                 )
                 rel = uri(F.col("relationship_id"))
+                prop_triples = F.concat_ws(
+                    "",
+                    F.transform(
+                        self._prop_entries(),
+                        lambda e: F.concat(
+                            F.lit("\n    <triple>"),
+                            rel,
+                            F.lit(f"<uri>{self.ns}"),
+                            _safe_id(e["key"]),
+                            F.lit("</uri><plainLiteral>"),
+                            _escape_xml(json_pystr(e["value"])),
+                            F.lit("</plainLiteral></triple>"),
+                        ),
+                    ),
+                )
                 reified = F.concat(
                     F.lit("    <triple>"),
                     rel,
                     F.lit(f"<uri>{_RDF_NS}type</uri><uri>{self.ns}{pascal}</uri></triple>\n    <triple>"),
                     rel,
-                    F.lit(f"<uri>{_RDF_NS}subject</uri>"),
+                    F.lit(f"<uri>{self.ns}subject</uri>"),
                     uri(F.col("source_id")),
                     F.lit("</triple>\n    <triple>"),
                     rel,
-                    F.lit(f"<uri>{_RDF_NS}object</uri>"),
+                    F.lit(f"<uri>{self.ns}object</uri>"),
                     uri(F.col("target_id")),
                     F.lit("</triple>"),
+                    prop_triples,
                 )
                 lines = sub.select(
                     F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
                 )
-                written.append(
-                    self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}")
+                cls_line = (
+                    f"    <triple><uri>{self.ns}{pascal}</uri>"
+                    f"<uri>{_RDF_NS}type</uri><uri>{_RDFS_NS}Class</uri></triple>"
                 )
-                continue
-            if self.xml:
+            elif self.xml:
                 res = lambda col: F.concat(F.lit(f'rdf:resource="{self.ns}'), _safe_id(col), F.lit('"'))  # noqa: E731
                 direct = F.concat(
                     F.lit(f'  <rdf:Description rdf:about="{self.ns}'),
@@ -401,16 +477,41 @@ class RDFWriter:
                     res(F.col("target_id")),
                     F.lit("/>\n  </rdf:Description>"),
                 )
+                prop_els = F.concat_ws(
+                    "",
+                    F.transform(
+                        self._prop_entries(),
+                        lambda e: F.concat(
+                            F.lit("    <bc:"),
+                            _xml_name(e["key"]),
+                            F.lit(">"),
+                            _escape_xml(json_pystr(e["value"])),
+                            F.lit("</bc:"),
+                            _xml_name(e["key"]),
+                            F.lit(">\n"),
+                        ),
+                    ),
+                )
                 reified = F.concat(
                     F.lit(f'  <rdf:Description rdf:about="{self.ns}'),
                     _safe_id(F.col("relationship_id")),
                     F.lit('">\n'),
                     F.lit(f'    <rdf:type rdf:resource="{self.ns}{pascal}"/>\n'),
-                    F.lit("    <rdf:subject "),
+                    F.lit("    <bc:subject "),
                     res(F.col("source_id")),
-                    F.lit("/>\n    <rdf:object "),
+                    F.lit("/>\n    <bc:object "),
                     res(F.col("target_id")),
-                    F.lit("/>\n  </rdf:Description>"),
+                    F.lit("/>\n"),
+                    prop_els,
+                    F.lit("  </rdf:Description>"),
+                )
+                lines = sub.select(
+                    F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
+                )
+                cls_line = (
+                    f'  <rdf:Description rdf:about="{self.ns}{pascal}">\n'
+                    f'    <rdf:type rdf:resource="{_RDFS_NS}Class"/>\n'
+                    "  </rdf:Description>"
                 )
             else:
                 pred = self._const(pascal)
@@ -418,13 +519,34 @@ class RDFWriter:
                 tgt = self._term(F.col("target_id"))
                 direct = F.concat(src, F.lit(f" {pred} "), tgt, F.lit(" ."))
                 rel = self._term(F.col("relationship_id"))
-                reified = F.concat(
-                    rel, F.lit(f" {self._rdf_type} {pred} .\n"),
-                    rel, F.lit(f" {self._rdf_subject} "), src, F.lit(" .\n"),
-                    rel, F.lit(f" {self._rdf_object} "), tgt, F.lit(" ."),
+                # one line per triple via explode (props ride on the
+                # reified edge node, reference _rdf.py:254-259)
+                prop_lines = F.transform(
+                    self._prop_entries(),
+                    lambda e: F.concat(
+                        rel, F.lit(" "), self._term(e["key"]),
+                        F.lit(' "'), _escape_literal(json_pystr(e["value"])), F.lit('" .'),
+                    ),
                 )
-            lines = sub.select(
-                F.when(F.col("relationship_id").isNotNull(), reified).otherwise(direct).alias("value")
-            )
+                reified_arr = F.concat(
+                    F.array(
+                        F.concat(rel, F.lit(f" {self._rdf_type} {pred} .")),
+                        F.concat(rel, F.lit(f" {self._rdf_subject} "), src, F.lit(" .")),
+                        F.concat(rel, F.lit(f" {self._rdf_object} "), tgt, F.lit(" .")),
+                    ),
+                    prop_lines,
+                )
+                arr = F.when(F.col("relationship_id").isNotNull(), reified_arr).otherwise(
+                    F.array(direct)
+                )
+                lines = sub.select(F.explode(arr).alias("value"))
+                if self.turtle:
+                    cls_line = f"bc:{pascal} rdf:type rdfs:Class ."
+                else:
+                    cls_line = f"<{self.ns}{pascal}> {RDF_TYPE} <{_RDFS_NS}Class> ."
+            # the reference types every edge class rdfs:Class in its file
+            # (_rdf.py:394-398) — one driver-literal row unioned in front
+            cls_row = self.spark.createDataFrame([(cls_line,)], "value string")
+            lines = cls_row.union(lines)
             written.append(self._write_label_file(lines, f"{pascal_file_label(label)}.{self._ext}"))
         return written

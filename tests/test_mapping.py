@@ -81,3 +81,7 @@ def test_parse_label():
     assert parse_label("2protein!") == "protein"
     assert parse_label("$special") == "$special"
     assert parse_label("!!!") == ""
+    # reference: with NO compliant first character anywhere, the compliant
+    # chars are kept as-is — '123' must not collapse to '' (two distinct
+    # all-numeric labels would merge into one placeholder file)
+    assert parse_label("123") == "123"

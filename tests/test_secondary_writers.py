@@ -90,8 +90,12 @@ def test_rdf_writer(spark, translator, tmp_path):
     assert "<https://biocypher.org/biocypher#p1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <https://biocypher.org/biocypher#Protein> ." in nt
     assert '"StringProperty1" .' in nt
     ent = read(tmp_path / "PERTURBED_IN_DISEASE.nt")
-    assert "rdf-syntax-ns#subject>" in ent
-    assert "rdf-syntax-ns#object>" in ent
+    # reference parity: subject/object live in the BIOCYPHER namespace
+    # (as_uri('subject', 'biocypher')), properties ride the reified edge,
+    # and the edge class is typed rdfs:Class in its file
+    assert "biocypher#subject>" in ent and "biocypher#object>" in ent
+    assert '#residue> "T253" .' in ent
+    assert "<https://biocypher.org/biocypher#PERTURBED_IN_DISEASE> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2000/01/rdf-schema#Class> ." in ent
 
 
 def test_rdf_writer_turtle(spark, translator, tmp_path):
@@ -108,7 +112,8 @@ def test_rdf_writer_turtle(spark, translator, tmp_path):
     assert "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> ." in ttl
     assert "bc:p1 rdf:type bc:Protein ." in ttl
     ent = read(out / "PERTURBED_IN_DISEASE.ttl")
-    assert "rdf:subject bc:p" in ent and "rdf:object bc:" in ent
+    assert "bc:subject bc:p" in ent and "bc:object bc:" in ent
+    assert "bc:PERTURBED_IN_DISEASE rdf:type rdfs:Class ." in ent
     # triple count parity with the ntriples path (modulo header)
     w2 = RDFWriter(spark, translator, str(tmp_path / "nt"))
     w2.write_nodes(nodes)
@@ -140,7 +145,7 @@ def test_rdf_writer_trig(spark, translator, tmp_path):
     assert "bc:p1 rdf:type bc:Protein ." in body
     assert trig.rstrip().endswith("}")
     ent = read(out / "PERTURBED_IN_DISEASE.trig")
-    assert "rdf:subject bc:p" in ent and ent.rstrip().endswith("}")
+    assert "bc:subject bc:p" in ent and ent.rstrip().endswith("}")
 
 
 def test_rdf_writer_trix(spark, translator, tmp_path):
@@ -167,10 +172,12 @@ def test_rdf_writer_trix(spark, translator, tmp_path):
     w2.write_nodes(nodes)
     nt_lines = [l for l in read(tmp_path / "nt2" / "Protein.nt").splitlines() if l]
     assert len(triples) == len(nt_lines)
-    # reified edges: 3 triples per edge row
+    # reified edges: 1 class-typing triple + (3 + n_props) per edge row
     edoc = ET.fromstring(read(out / "PERTURBED_IN_DISEASE.trix"))
     etr = edoc.findall(f"{ns}graph/{ns}triple")
-    assert len(etr) % 3 == 0 and len(etr) > 0
+    n_edges = 2  # perturbed_edges(3)[1:]
+    n_props = 2  # residue, level
+    assert len(etr) == 1 + n_edges * (3 + n_props)
 
 
 def test_rdf_writer_jsonld(spark, translator, tmp_path):
@@ -195,10 +202,15 @@ def test_rdf_writer_jsonld(spark, translator, tmp_path):
     assert "bc:name" in byid["bc:p1"]
     assert not any(k for k in byid["bc:p1"] if not k.startswith(("@", "bc:", "rdf:")))
     ent = json.loads(read(out / "PERTURBED_IN_DISEASE.jsonld"))
+    cls_rows = [g for g in ent["@graph"] if g.get("@type") == "rdfs:Class"]
+    assert [g["@id"] for g in cls_rows] == ["bc:PERTURBED_IN_DISEASE"]
     for g in ent["@graph"]:
+        if g in cls_rows:
+            continue
         assert g["@type"] == "bc:PERTURBED_IN_DISEASE"
-        assert g["rdf:subject"]["@id"].startswith("bc:")
-        assert g["rdf:object"]["@id"].startswith("bc:")
+        assert g["bc:subject"]["@id"].startswith("bc:")
+        assert g["bc:object"]["@id"].startswith("bc:")
+        assert "bc:residue" in g  # edge props ride the reified edge
 
 
 def test_rdf_writer_xml(spark, translator, tmp_path):
@@ -224,7 +236,9 @@ def test_rdf_writer_xml(spark, translator, tmp_path):
     assert len(descs) == 2
     ent = read(out / "PERTURBED_IN_DISEASE.xml")
     ET.fromstring(ent)
-    assert "<rdf:subject rdf:resource=" in ent and "<rdf:object rdf:resource=" in ent
+    assert "<bc:subject rdf:resource=" in ent and "<bc:object rdf:resource=" in ent
+    assert "<bc:residue>" in ent
+    assert '<rdf:type rdf:resource="http://www.w3.org/2000/01/rdf-schema#Class"/>' in ent
 
 
 def test_ontology_graphml_export(tmp_path):
@@ -263,3 +277,91 @@ def test_rdf_writer_jsonld_colliding_sanitized_keys(spark, translator, tmp_path)
     assert g["bc:name"] == "n"
     assert g["bc:retail_price"] in ("a", "b")  # exactly one survives
     assert sum(1 for k in g if k == "bc:retail_price") == 1
+
+
+def test_rdf_null_props_and_falsy_values(spark, translator, tmp_path):
+    """A NULL props map must not delete the node's rdf:type triple, and
+    None/empty property values are skipped (reference guards every
+    property write with `if value:`)."""
+    from biocypher_spark.model import NODE_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [
+            ("n1", "protein", "id", None, 0),
+            ("n2", "protein", "id", {"name": '"x"', "desc": "null", "empty": '""'}, 1),
+        ],
+        NODE_SCHEMA,
+    )
+    out = tmp_path / "nt"
+    RDFWriter(spark, translator, str(out)).write_nodes(nodes)
+    nt = read(out / "Protein.nt")
+    assert "#n1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>" in nt
+    assert '"None"' not in nt and '""' not in nt.replace('\\"', "")
+    assert '#name> "x" .' in nt
+
+
+def test_rdf_label_sanitized_in_iris(spark, translator, tmp_path):
+    """Labels with IRI-hostile characters must not corrupt IRIs or XML
+    element names."""
+    from biocypher_spark.model import NODE_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [("n1", "gene (human)", "id", {"name": '"x"'}, 0)], NODE_SCHEMA
+    )
+    out = tmp_path / "x"
+    RDFWriter(spark, translator, str(out), rdf_format="xml").write_nodes(nodes)
+    import xml.etree.ElementTree as ET
+
+    fname = [f for f in os.listdir(out) if f.endswith(".xml")][0]
+    xml = read(out / fname)
+    ET.fromstring(xml)  # parses only if the element names are legal
+    assert " (" not in xml.split("rdf:type")[1].split("/>")[0]
+
+
+def test_turtle_nt_same_local_names(spark, translator, tmp_path):
+    """One entity id must map to ONE IRI local name across formats
+    (the turtle path previously used a narrower charset)."""
+    from biocypher_spark.model import NODE_SCHEMA
+
+    nodes = spark.createDataFrame(
+        [("uniprot:P05067", "protein", "id", {"name": '"x"'}, 0)], NODE_SCHEMA
+    )
+    RDFWriter(spark, translator, str(tmp_path / "nt")).write_nodes(nodes)
+    RDFWriter(spark, translator, str(tmp_path / "ttl"), rdf_format="turtle").write_nodes(nodes)
+    nt = read(tmp_path / "nt" / "Protein.nt")
+    ttl = read(tmp_path / "ttl" / "Protein.ttl")
+    assert "#uniprot:P05067>" in nt
+    assert "bc:uniprot:P05067 " in ttl
+
+
+def test_owl_rejects_unsupported_format(spark, translator, tmp_path):
+    import pytest as _pytest
+
+    from biocypher_spark.writer.owl import OWLWriter
+
+    with _pytest.raises(ValueError, match="ntriples.*turtle"):
+        OWLWriter(spark, translator, str(tmp_path), rdf_format="xml")
+
+
+def test_owl_multi_parent_subclassof(spark, tmp_path):
+    """subClassOf vocabulary follows the REAL parent DAG: multi-parent
+    labels emit one edge per parent, never a fabricated edge between an
+    ancestor and an unrelated sibling branch."""
+    from biocypher_spark.mapping import SchemaMapping
+    from biocypher_spark.model import nodes_from_tuples
+    from biocypher_spark.ontology import Ontology
+    from biocypher_spark.translate import SparkTranslator
+    from biocypher_spark.writer.owl import OWLWriter
+
+    onto = Ontology(
+        mapping=SchemaMapping(schema={"protein": {"represented_as": "node", "input_label": "protein"}}),
+        parent_map={"protein": ["a", "b"], "a": ["root"], "b": ["root"]},
+    )
+    tr = SparkTranslator(spark, onto)
+    w = OWLWriter(spark, tr, str(tmp_path), rdf_format="turtle")
+    w.write_nodes(tr.translate_nodes(nodes_from_tuples(spark, [("p1", "protein", {})])).nodes)
+    vocab = "\n".join(w._vocab)
+    assert "bc:Protein rdfs:subClassOf bc:A ." in vocab
+    assert "bc:Protein rdfs:subClassOf bc:B ." in vocab
+    assert "bc:A rdfs:subClassOf bc:Root ." in vocab
+    assert "bc:Root rdfs:subClassOf bc:B ." not in vocab
