@@ -86,7 +86,10 @@ def _compile_gazetteer(patterns: dict[str, str]):
     per-label, no renumbering)."""
     labels = list(patterns)
     for label, p in patterns.items():
-        if re.search(r"\\[1-9]|\(\?P=", p):
+        # Only an UNESCAPED \1 / (?P= is a real backreference: an even run
+        # of preceding backslashes means the token is literal text (e.g.
+        # r"\\1" = literal backslash + '1') and renumbering is harmless.
+        if re.search(r"(?<!\\)(?:\\\\)*(?:\\[1-9]|\(\?P=)", p):
             raise ValueError(
                 f"pattern for {label!r} uses a regex backreference, which the "
                 "combined gazetteer alternation cannot renumber — use "

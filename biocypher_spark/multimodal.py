@@ -84,10 +84,14 @@ def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def synthesize_real_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+def synthesize_real_media(
+    spark: SparkSession, n: int, kind: str = "image", image_format: str = "ppm"
+) -> DataFrame:
     """Deterministic media table whose payloads are REAL byte formats
-    (binary PPM images / 16-bit PCM WAV audio), exercising the actual
-    codecs end-to-end rather than the ``fake/*`` stub protocol."""
+    (binary PPM or PNG images / 16-bit PCM WAV audio), exercising the
+    actual codecs end-to-end rather than the ``fake/*`` stub protocol.
+    ``image_format``: "ppm" (default — the oracle corpus shape), "png",
+    or "mixed" (alternating, for dispatch tests)."""
     rows = []
     for i in range(n):
         if kind == "image":
@@ -97,7 +101,11 @@ def synthesize_real_media(spark: SparkSession, n: int, kind: str = "image") -> D
                 [(yy * 17 + i) % 256, (xx * 31 + i * 7) % 256, (yy * xx + i * 3) % 256],
                 axis=2,
             ).astype(np.uint8)
-            content, meta = encode_ppm(px), ("image/ppm", w, h, None, None)
+            use_png = image_format == "png" or (image_format == "mixed" and i % 2 == 1)
+            if use_png:
+                content, meta = encode_png(px), ("image/png", w, h, None, None)
+            else:
+                content, meta = encode_ppm(px), ("image/ppm", w, h, None, None)
         else:
             rate = 8000
             dur_ms = 1500 + (i % 3) * 700
@@ -160,6 +168,119 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Parse a non-interlaced 8-bit PNG into an (h, w, 3) uint8 array.
+
+    Pure stdlib (zlib inflate + per-scanline unfiltering in numpy) — no
+    third-party codec. Supported: bit depth 8, color types 0 (grayscale),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped, grayscale is
+    replicated to 3 channels so every image feeds the same (h, w, 3)
+    feature path as PPM. Interlaced (Adam7), paletted, and 16-bit images
+    raise ``NotImplementedError`` (plug PIL in production for those).
+    """
+    buf = bytes(content)
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(buf):
+        (length,) = np.frombuffer(buf, dtype=">u4", count=1, offset=pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + int(length)]
+        pos += 12 + int(length)  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunks")
+    w, h = (int(x) for x in np.frombuffer(ihdr, dtype=">u4", count=2))
+    bitdepth, colortype, _comp, _filt, interlace = ihdr[8:13]
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG is not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if bitdepth != 8 or channels is None:
+        raise NotImplementedError(
+            f"PNG bitdepth={bitdepth} colortype={colortype} is not supported "
+            "(8-bit gray/RGB/gray+alpha/RGBA only)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG raster truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left neighbor
+            line = out[y]
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                if f == 1:  # Sub
+                    v = cur[x] + a
+                elif f == 3:  # Average
+                    v = cur[x] + ((a + prev[x]) >> 1)
+                elif f == 4:  # Paeth
+                    b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[x] + pred
+                else:
+                    raise ValueError(f"PNG filter type {f} is invalid")
+                line[x] = v & 0xFF
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if colortype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif colortype == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif colortype == 6:
+        px = px[:, :, :3]
+    return px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a non-interlaced 8-bit RGB PNG
+    (filter type 0 on every scanline, single zlib-compressed IDAT)."""
+    import binascii
+    import struct
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, channels = px.shape
+    if channels != 3:
+        raise ValueError("encode_png expects an (h, w, 3) RGB array")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Parse a 16-bit PCM WAV into (sample_rate, (frames, channels) int16)."""
     import io
@@ -215,6 +336,9 @@ def decode_image(content: bytes, format: Optional[str] = None) -> np.ndarray:
         return _fake_decode(content)
     if fmt in ("image/ppm", "ppm") or buf.startswith(b"P6"):
         gray = decode_ppm(buf).astype(np.float32).mean(axis=2) / 255.0
+        return _block_means(gray.ravel(), FEATURE_DIM)
+    if fmt in ("image/png", "png") or buf.startswith(_PNG_SIG):
+        gray = decode_png(buf).astype(np.float32).mean(axis=2) / 255.0
         return _block_means(gray.ravel(), FEATURE_DIM)
     if fmt in ("audio/wav", "wav") or buf[:4] == b"RIFF":
         _rate, frames = decode_wav(buf)
@@ -364,8 +488,10 @@ def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame
 
     def _thumb_bytes(content: bytes, fmt) -> list[int]:
         buf = bytes(content)
-        if buf.startswith(b"P6") and not str(fmt).startswith("fake/"):
-            px = decode_ppm(buf)
+        is_ppm = buf.startswith(b"P6")
+        is_png = buf.startswith(_PNG_SIG)
+        if (is_ppm or is_png) and not str(fmt).startswith("fake/"):
+            px = decode_ppm(buf) if is_ppm else decode_png(buf)
             h, w = px.shape[:2]
             ys = (np.arange(height) * h) // height
             xs = (np.arange(width) * w) // width

@@ -247,11 +247,7 @@ class Ontology:
         two nodes MERGE — parent edges union rather than the later dict
         entry silently overwriting the earlier one. Label attributes follow
         the rename."""
-        renames = {}
-        for cls, conf in self.mapping.extended_schema.items():
-            syn = conf.get("synonym_for")
-            if syn and syn in self._parents:
-                renames[syn] = cls
+        renames = self._synonym_renames()
         if not renames:
             return
         new: dict[str, list[str]] = {}
@@ -298,8 +294,33 @@ class Ontology:
                     self._add_edges(prev, [parent])
                 prev = parent
 
+    def _synonym_renames(self) -> dict[str, str]:
+        """ontology-name -> schema-key renames declared via ``synonym_for``."""
+        renames = {}
+        for cls, conf in self.mapping.extended_schema.items():
+            syn = conf.get("synonym_for")
+            if syn and syn in self._parents:
+                renames[syn] = cls
+        return renames
+
     def _restrict_to_root(self, root: str) -> None:
-        """Keep only nodes whose ancestor closure includes ``root``."""
+        """Keep only nodes whose ancestor closure includes ``root``.
+
+        Restriction runs BEFORE ``_apply_synonyms``, so a root given under
+        its post-synonym (schema-key) name is resolved back to the loaded
+        ontology name first. A root matching no node raises rather than
+        silently emptying the vocabulary (an empty keep-set would drop
+        every class and every downstream label closure with no signal)."""
+        if root not in self._parents:
+            for src, tgt in self._synonym_renames().items():
+                if tgt == root:
+                    root = src
+                    break
+        if root not in self._parents:
+            raise ValueError(
+                f"root node {root!r} not found in the loaded ontology "
+                "(checked both its own name and synonym_for sources)"
+            )
         keep = {n for n in self._parents if root in self.get_ancestors(n)}
         self._parents = {n: [p for p in ps if p in keep] for n, ps in self._parents.items() if n in keep}
 

@@ -121,19 +121,30 @@ def _bucket_expr(signs_list: list[list[int]], vec_col: str) -> Column:
     would silently send EVERY vector to bucket 0 — which the size cap then
     drops, making near-dup/semantic-dedup return empty with no error. The
     per-row raise_error costs one int compare inside the job (no extra
-    probe action)."""
+    probe action).
+
+    NULL embeddings are tolerated, not fatal: they map to a NULL bucket,
+    which drops out of every downstream equijoin on the bucket key (SQL
+    null-key semantics) — the same effective behavior the pre-guard code
+    had (null rows never produce candidate pairs). Without the explicit
+    isNull branch, size(NULL) is NULL, the dims test is non-true, and the
+    row would fall into the raise branch with a NULL (opaque) message."""
     dims = len(signs_list[0]) if signs_list else 0
     bucket = F.lit(0)
     for p, signs in enumerate(signs_list):
         signs_arr = F.array(*[F.lit(float(s)) for s in signs])
         proj = _dot(F.col(vec_col), signs_arr)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return F.when(F.size(F.col(vec_col)) == dims, bucket).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("lsh: embedding length "),
-                F.size(F.col(vec_col)).cast("string"),
-                F.lit(f" != configured dims={dims}"),
+    return (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
+        .when(F.size(F.col(vec_col)) == dims, bucket)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("lsh: embedding length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != configured dims={dims}"),
+                )
             )
         )
     )

@@ -203,16 +203,24 @@ def stream_kg(
     translator = SparkTranslator(spark, NullOntology(schema_mapping))
     writer = Neo4jBatchWriter(
         spark, translator, output_directory, strict_mode=False, validate_props=False,
-        ordered_parts=False, track_seen=True,
+        ordered_parts=False, track_seen=True, lazy_seen_pins=True,
     )
     pats = patterns or DEFAULT_PATTERNS
 
-    def identity_mapping(mentions: DataFrame) -> DataFrame:
+    def identity_link(mentions: DataFrame) -> DataFrame:
+        """Identity canonicalization: canonical_id IS the normalized surface.
+
+        Equivalent to ``link_mentions(mentions, mapping=identity_map)`` —
+        the left join against a map of nkey->nkey followed by
+        ``coalesce(canonical_id, nkey)`` resolves every row to its own nkey
+        — but with ZERO shuffle: no distinct to build the map, no join to
+        apply it. This was the dominant per-micro-batch cost (profiled
+        ~40% of batch wall before removal)."""
         from ..extract import normalize_surface
 
         nkey = normalize_surface(F.col("surface"))
-        return mentions.select(nkey.alias("nkey")).distinct().select(
-            "nkey", F.col("nkey").alias("canonical_id")
+        return mentions.withColumn("nkey", nkey).withColumn(
+            "canonical_id", F.col("nkey")
         )
 
     import glob
@@ -349,12 +357,17 @@ def stream_kg(
         # on a wide cluster whose state is already >= defaultParallelism
         # partitions this is a no-op, never a bottleneck
         combined = combined.coalesce(spark.sparkContext.defaultParallelism)
+        import time as _t
+
+        _p0 = _t.time()
         new = os.path.join(meta_dir, f"_seen_b{batch_id}")
         # partitionBy keeps the single write job but gives each kind its
         # own directory, so the per-attr restore/dedup scans
         # partition-prune instead of decoding the other kinds' row groups
         # (the edges state typically dominates the cumulative size)
         combined.write.mode("overwrite").partitionBy("_kind").parquet(new)
+        if os.environ.get("BIOCYPHER_STREAM_TIMING") == "1":
+            print(f"[persist_seen] write={_t.time() - _p0:.2f}s", flush=True)
         back = spark.read.parquet(new)
         for attr in _SEEN_ATTRS:
             if getattr(writer, attr) is not None:
@@ -395,7 +408,17 @@ def stream_kg(
 
     _restore_seen(_initial["last_batch"])
 
+    _timing = os.environ.get("BIOCYPHER_STREAM_TIMING") == "1"
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _t
+
+        marks = [("start", _t.time())]
+
+        def _mark(name: str) -> None:
+            if _timing:
+                marks.append((name, _t.time()))
+
         state = _read_committed()
         if batch_id <= state["last_batch"]:
             return  # at-least-once replay of an already-committed batch
@@ -412,32 +435,40 @@ def stream_kg(
         # each of which would otherwise re-run it (measured 5-7 recomputes
         # per batch; the dominant cost of the stream before pinning)
         mentions = materialize(stream_mentions(batch_df, pats))
+        _mark("extract_pin")
         if mentions.limit(1).count() == 0:
             parts = state["part_files"]
         else:
-            batch_mapping = mapping if mapping is not None else identity_mapping(mentions)
-            linked = link_mentions(mentions, mapping=batch_mapping)
+            if mapping is not None:
+                # pin LINKED once: node side (groupBy) and edge side
+                # (per-turn pairs) both re-derive from it, and without the
+                # pin each downstream pin re-executes the mapping join
+                linked = materialize(link_mentions(mentions, mapping=mapping))
+            else:
+                # identity path: linked is pinned-mentions + two narrow
+                # columns — a pin here would be a pure extra job
+                linked = identity_link(mentions)
             node_tuples, edge_tuples = build_triple_tuples(
                 linked, edge_labels=edge_input_labels(schema_mapping)
             )
-            # pin the tiny TRANSLATED frames (distinct entities / edges of
-            # the batch): the writer issues 3-4 actions per side (seen-dedup
-            # window + count, first-rows collect, part write, seen-state
-            # parquet), and an unpinned translate chain (identity-mapping
-            # distinct + link join + groupBy + broadcast mapping join +
-            # label case conversion) re-executes on every one of them
-            # (profiled 56s -> 44s on the 500k-turn drain). edge_tuples is
-            # pinned too because BOTH the te.edges and te.ran_nodes pins
-            # re-derive from it; node_tuples is consumed exactly once (the
-            # tn.nodes pin), so a pin there would be a pure extra job
+            # ONE pin below the translate split: edge_tuples feeds both
+            # te.edges and te.ran_nodes, and the translate layer above it is
+            # narrow (broadcast schema join + case conversion), so the
+            # writer's own .persist() at its firsts-collect job caches the
+            # post-dedup frames — dedicated te.edges / te.ran_nodes /
+            # tn.nodes pins were each a full scheduled job per micro-batch
+            # for data the writer caches anyway (3 jobs/batch saved; the
+            # earlier 56s->44s pin profiling predates the identity-link
+            # fast path that made the upstream chain narrow)
             edge_tuples = materialize(edge_tuples)
+            _mark("link_translate_pin")
             tn = translator.translate_nodes(node_tuples)
             te = translator.translate_edges(edge_tuples)
-            te.edges = materialize(te.edges)
-            if te.ran_nodes is not None:
-                te.ran_nodes = materialize(te.ran_nodes)
-            writer.write_nodes(materialize(tn.nodes))
+            _mark("translate_edges_pin")
+            writer.write_nodes(tn.nodes)
+            _mark("write_nodes")
             writer.write_edges(te)
+            _mark("write_edges")
             writer.write_import_call()
             parts = sorted(
                 os.path.basename(f)
@@ -448,6 +479,7 @@ def stream_kg(
         # marker advances, _drop_old_seen deletes the only surviving
         # generation, and cross-batch dedup is silently reset
         _persist_seen(batch_id)
+        _mark("persist_seen")
         tmp = committed_path + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(
@@ -455,6 +487,12 @@ def stream_kg(
             )
         os.replace(tmp, committed_path)
         _drop_old_seen(batch_id)
+        if _timing:
+            spans = ", ".join(
+                f"{name}={marks[i + 1][1] - marks[i][1]:.2f}s"
+                for i, (name, _) in enumerate(marks[1:])
+            )
+            print(f"[stream_kg] batch={batch_id} total={_t.time() - marks[0][1]:.2f}s {spans}", flush=True)
 
     stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
     builder = stream.writeStream.foreachBatch(handle_batch).option("checkpointLocation", checkpoint_dir)

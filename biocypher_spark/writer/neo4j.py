@@ -107,6 +107,7 @@ class Neo4jBatchWriter:
         validate_props: bool = True,
         ordered_parts: bool = True,
         track_seen: bool = True,
+        lazy_seen_pins: bool = False,
     ):
         self.spark = spark
         self.translator = translator
@@ -141,6 +142,15 @@ class Neo4jBatchWriter:
         # track_seen=False skips the cross-call seen-id bookkeeping for
         # single-shot pipelines whose inputs are already unique
         self.track_seen = track_seen
+        # lazy_seen_pins=True defers seen-key evaluation into the first
+        # consuming job (stream_kg's per-batch generation write) instead of
+        # scheduling an eager count per write call — the micro-batch fast
+        # path. Callers opting in MUST release_seen_state_pins() regularly
+        # (the shared batch_first pin holds full post-dedup rows, not just
+        # keys) and feed deterministic (pinned) inputs. The eager default
+        # fixes the seen keys immediately, which is the safe contract for
+        # ad-hoc batch writers over possibly-nondeterministic inputs.
+        self.lazy_seen_pins = lazy_seen_pins
 
         self.node_property_dict: "OrderedDict[str, dict]" = OrderedDict()
         self.edge_property_dict: "OrderedDict[str, dict]" = OrderedDict()
@@ -313,8 +323,26 @@ class Neo4jBatchWriter:
             )
             self._note_dups(attr, cross_dups)
             batch_first = batch_first.join(seen, key_cols, "left_anti")
-        new_keys = batch_first.select(*key_cols).persist()
-        new_keys.count()
+        if self.lazy_seen_pins:
+            # LAZY shared pin (stream fast path): cache the post-dedup frame
+            # ITSELF (before the caller's .drop/.select projections) so
+            # every downstream plan — the writer's firsts-collect and part
+            # write, the seen-keys selection below, the next call's
+            # anti-join, stream_kg's generation write — substitutes the
+            # SAME cached subtree instead of re-running the window +
+            # anti-join per consumer. No eager count: the first consumer's
+            # job evaluates the cache (2 scheduled jobs per micro-batch
+            # saved, and one window evaluation instead of two). The full-row
+            # pin is released by release_seen_state_pins() each batch.
+            batch_first = batch_first.persist()
+            self._seen_pins.append(batch_first)
+            new_keys = batch_first.select(*key_cols).persist()
+        else:
+            # eager pin: evaluate the seen keys NOW so they are fixed even
+            # when the writer's input plan is nondeterministic (ad-hoc
+            # batch callers), at the cost of one scheduled job per call
+            new_keys = batch_first.select(*key_cols).persist()
+            new_keys.count()
         # the union needs NO distinct: new_keys is key-unique (row_number==1
         # keeps one row per key) and disjoint from seen (the anti-join
         # above), and seen is distinct by this same induction — a distinct
