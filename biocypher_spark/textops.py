@@ -894,6 +894,38 @@ def _sig_band_table(
     return sigs, assigned, (hashed if need_hashed else None)
 
 
+REFERENCE_SIGS_COLUMNS = ("doc_id", "_n", "band", "bkey")
+
+
+def reference_band_sigs(
+    reference: DataFrame,
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Precompute a reference corpus's banded minhash signature table for
+    REPEATED cross-corpus screens (columns ``doc_id, _n, band, bkey``).
+
+    Every :func:`near_dedup_against` call otherwise re-tokenizes the full
+    reference to derive its signatures — one linear scan of the 100 TB
+    side per screened shard. Computing this table once and persisting it
+    turns each recurring screen into a hash join against ~``bands`` narrow
+    rows per reference doc. For a standing screening service, write it
+    bucketed on the join keys so the repeated joins run with zero Exchange
+    on the reference side::
+
+        reference_band_sigs(ref).write.bucketBy(256, "band", "bkey") \\
+            .sortBy("band", "bkey").saveAsTable("ref_sigs")
+
+    (see ``operators/bucketing.py`` for the bucketed-join plan contract).
+    The table must be built with the SAME ``bands``/``rows_per_band`` as
+    the screens that consume it — band keys from different banding
+    parameters never collide correctly, they just miss candidates.
+    """
+    _, br, _ = _sig_band_table(reference, text_col, bands, rows_per_band, need_hashed=False)
+    return br.select(*REFERENCE_SIGS_COLUMNS)
+
+
 def near_dedup_against(
     df: DataFrame,
     reference: DataFrame,
@@ -901,6 +933,7 @@ def near_dedup_against(
     threshold: float = 0.8,
     bands: int = 4,
     rows_per_band: int = 3,
+    reference_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus NEAR dedup: flag documents of ``df`` whose hashed token
     set has Jaccard >= ``threshold`` with ANY document of ``reference``
@@ -918,9 +951,25 @@ def near_dedup_against(
     reference's text is scanned once in full (signatures) plus one
     id-pruned re-read of candidate rows — bounded memory beats saving a
     linear scan at that scale. Candidates come from a hash join on short
-    band keys; bodies never shuffle on either side."""
+    band keys; bodies never shuffle on either side.
+
+    ``reference_sigs``: a precomputed :func:`reference_band_sigs` table
+    (built with the SAME bands/rows_per_band). When given, the reference
+    text is NOT re-tokenized for signatures — its only remaining scan is
+    the id-semi-joined candidate verify — which amortizes the recurring
+    100-TB screen across shards. Persist it bucketed on (band, bkey) to
+    also drop the reference-side Exchange from every screen's join."""
     _, ba, hha = _sig_band_table(df, text_col, bands, rows_per_band)
-    _, br, _ = _sig_band_table(reference, text_col, bands, rows_per_band, need_hashed=False)
+    if reference_sigs is not None:
+        missing = [c for c in REFERENCE_SIGS_COLUMNS if c not in reference_sigs.columns]
+        if missing:
+            raise ValueError(
+                f"reference_sigs is missing columns {missing}: expected a "
+                "reference_band_sigs() table (doc_id, _n, band, bkey)"
+            )
+        br = reference_sigs
+    else:
+        _, br, _ = _sig_band_table(reference, text_col, bands, rows_per_band, need_hashed=False)
     a_side = ba.select("band", "bkey", F.col("doc_id").alias("_da"), F.col("_n").alias("_na"))
     r_side = br.select("band", "bkey", F.col("doc_id").alias("_dr"), F.col("_n").alias("_nb"))
     pairs = materialize(

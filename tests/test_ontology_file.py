@@ -595,3 +595,147 @@ def test_hybrid_ontology_with_yaml_tail(tmp_path):
     )
     assert "snv" in o._parents
     assert "child" in o.get_ancestors("snv") or "sequence_variant" in o.get_ancestors("snv")
+
+
+# ---------------------------------------------------------------------------
+# round-5 hardening: tolerant handling of real-world OWL constructs + fuzz
+# ---------------------------------------------------------------------------
+
+
+def test_anonymous_restriction_parent_skipped_with_warning(tmp_path, caplog):
+    """A labeled subClassOf edge to a NAMED parent always survives; the
+    sibling edge to an anonymous owl:Restriction is skipped with a logged
+    warning, never silently."""
+    import logging
+
+    from biocypher_spark.rdfio import build_ontology_graph, parse_rdf_file
+
+    p = tmp_path / "restr.ttl"
+    p.write_text(
+        """@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix : <http://example.org/> .
+:Root rdfs:label "root" .
+:Parent rdfs:label "parent" ; rdfs:subClassOf :Root .
+:Child rdfs:label "child" ;
+    rdfs:subClassOf :Parent ;
+    rdfs:subClassOf [ a owl:Restriction ;
+                      owl:onProperty :partOf ;
+                      owl:someValuesFrom :Root ] .
+"""
+    )
+    with caplog.at_level(logging.WARNING, logger="biocypher_spark.rdfio"):
+        parents, _ = build_ontology_graph(parse_rdf_file(str(p)))
+    assert parents["child"] == ["parent"]  # the labeled edge survives
+    assert any("anonymous class expression" in r.message for r in caplog.records)
+
+
+def test_unhandled_equivalentclass_warns(tmp_path, caplog):
+    """owl:equivalentClass to a non-intersection expression (Restriction)
+    is skipped loudly; an intersectionOf equivalence still expands."""
+    import logging
+
+    from biocypher_spark.rdfio import build_ontology_graph, parse_rdf_file
+
+    p = tmp_path / "equiv.ttl"
+    p.write_text(
+        """@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix : <http://example.org/> .
+:A rdfs:label "a" .
+:B rdfs:label "b" ; rdfs:subClassOf :A .
+:C rdfs:label "c" ; rdfs:subClassOf :B ;
+   owl:equivalentClass [ a owl:Restriction ; owl:onProperty :p ; owl:hasValue :A ] .
+"""
+    )
+    with caplog.at_level(logging.WARNING, logger="biocypher_spark.rdfio"):
+        parents, _ = build_ontology_graph(parse_rdf_file(str(p)))
+    assert parents["c"] == ["b"]
+    assert any("equivalentClass" in r.message for r in caplog.records)
+
+
+def test_axiom_annotation_blocks_do_not_crash_or_add_edges(tmp_path):
+    """OWLAPI/robot-style standalone owl:Axiom annotation blocks parse and
+    contribute no hierarchy edges."""
+    from biocypher_spark.rdfio import build_ontology_graph, parse_rdf_file
+
+    p = tmp_path / "axiom.ttl"
+    p.write_text(
+        """@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix : <http://example.org/> .
+:A rdfs:label "a" .
+:B rdfs:label "b" ; rdfs:subClassOf :A .
+[ a owl:Axiom ;
+  owl:annotatedSource :B ;
+  owl:annotatedProperty rdfs:subClassOf ;
+  owl:annotatedTarget :A ;
+  rdfs:comment "provenance of the edge" ] .
+"""
+    )
+    parents, _ = build_ontology_graph(parse_rdf_file(str(p)))
+    assert parents == {"b": ["a"], "a": []}
+
+
+def _mutations(text: str, seed: int):
+    """Deterministic corpus mutations: truncation, line deletion, chunk
+    duplication, junk insertion, bracket imbalance, char substitution."""
+    import random
+
+    rng = random.Random(seed)
+    lines = text.splitlines(keepends=True)
+    yield text[: rng.randrange(1, max(2, len(text)))]  # truncate mid-token
+    if len(lines) > 3:
+        keep = [ln for ln in lines if rng.random() > 0.2]
+        yield "".join(keep)  # delete ~20% of lines
+        i = rng.randrange(len(lines) - 2)
+        yield "".join(lines[:i] + lines[i : i + 2] * 3 + lines[i + 2 :])  # duplicate chunk
+    pos = rng.randrange(len(text))
+    yield text[:pos] + "\x00<<JUNK??>>" + text[pos:]  # binary junk mid-file
+    yield text.replace("[", "[ [", 3)  # unbalanced brackets
+    chars = list(text)
+    for _ in range(max(1, len(chars) // 500)):
+        chars[rng.randrange(len(chars))] = rng.choice(";.[]()<>\"@")
+    yield "".join(chars)  # random punctuation substitution
+
+
+@pytest.mark.parametrize("fname", ["ontology1.ttl", "reverse_labels.ttl", "multiple_parent_nodes.owl", "so.owl"])
+def test_fuzz_mutated_ontologies_fail_controlled(tmp_path, fname):
+    """Parsing mutated copies of the bundled ontologies either succeeds or
+    raises a CONTROLLED error (ValueError family / NotImplementedError) —
+    never IndexError/KeyError/RecursionError/ET internals — and when it
+    succeeds, every labeled->labeled subClassOf edge present in the
+    mutated triple set appears in the built DAG (no silent drops)."""
+    from biocypher_spark.rdfio import (
+        RDFS_LABEL,
+        RDFS_SUBCLASSOF,
+        Literal,
+        ZeroHierarchyEdgesError,
+        build_ontology_graph,
+        parse_rdf_file,
+    )
+
+    src = open(f"{ONT}/{fname}", encoding="utf-8").read()
+    # so.owl is large: fuzz a prefix that still holds many classes
+    if len(src) > 200_000:
+        src = src[:200_000]
+    n_ok = n_err = 0
+    for i, mutated in enumerate(_mutations(src, seed=7)):
+        p = tmp_path / f"m{i}_{fname}"
+        p.write_text(mutated, encoding="utf-8")
+        try:
+            triples = parse_rdf_file(str(p))
+            parents, _ = build_ontology_graph(triples, rename_nodes=False, switch_label_and_id=False)
+            n_ok += 1
+        except (ValueError, ZeroHierarchyEdgesError, NotImplementedError):
+            n_err += 1
+            continue
+        # no silent drops: labeled child + labeled parent => edge in DAG
+        labels = {s for s, pr, o in triples if pr == RDFS_LABEL}
+        for s, pr, o in triples:
+            if pr == RDFS_SUBCLASSOF and s in labels and o in labels and not isinstance(o, Literal):
+                child = str(s).rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                parent = str(o).rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                if child != parent:
+                    assert parent in parents.get(child, []), (fname, i, child, parent)
+    assert n_ok + n_err >= 5  # every mutation was exercised
