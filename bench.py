@@ -539,8 +539,13 @@ def main() -> None:
     hygiene = min((run_hygiene_job(spark) for _ in range(repeats)), key=lambda s: s["sec"])
 
     # streaming path: same operators through foreachBatch micro-batches
-    # with the durable committed-marker/seen-id machinery engaged
-    stream_turns = min(SCALING_TURNS, 500_000)
+    # with the durable committed-marker/seen-id machinery engaged. 1M turns
+    # = 4 micro-batches of 250k at the default trigger: batches big enough
+    # that the ~3.5s per-batch fixed cost (planning + action scheduling) is
+    # amortized the way a production stream's trigger sizing would, while
+    # still exercising the cross-batch part-numbering/seen-state/delta-
+    # generation machinery on every batch boundary
+    stream_turns = min(SCALING_TURNS, 1_000_000)
     streaming = run_streaming_job(spark, stream_turns, materialize_input(spark, stream_turns))
     spark.stop()
 

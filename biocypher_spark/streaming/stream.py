@@ -34,6 +34,22 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
+def _union_generations(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union a set of state-generation parquet dirs into one frame.
+
+    Each generation is its own partitioned (by `_kind`) parquet root, so a
+    single multi-path read trips partition discovery
+    (CONFLICTING_DIRECTORY_STRUCTURES); per-path reads unioned by name are
+    the supported shape. allowMissingColumns tolerates legacy generations
+    written before `_dup_kind` rode along (it reads as null there, which is
+    exactly the seen-row encoding)."""
+    dfs = [spark.read.parquet(p) for p in paths]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def read_transcript_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
@@ -249,16 +265,47 @@ def stream_kg(
 
     # the three seen-id frames (node ids, edge keys, rel-as-node keys) are
     # persisted as ONE combined parquet generation per committed batch with
-    # a `_kind` discriminator — one durable write + one read per micro-batch
-    # instead of three, which is the fixed-latency floor of every
-    # micro-batch at cluster scale. Normalized schema: (_kind, _klabel, _key)
-    # with _klabel null for the node frame (its dedup key is id-only).
+    # a `_kind` discriminator — one durable write per micro-batch instead
+    # of three, which is the fixed-latency floor of every micro-batch at
+    # cluster scale. Normalized schema: (_kind, _klabel, _key) with
+    # _klabel null for the node frame (its dedup key is id-only).
     def _seen_cols(attr: str, df: DataFrame) -> DataFrame:
         part = df.filter(F.col("_kind") == attr) if "_kind" in df.columns else df
         return part.select("_key") if attr == "_seen_nodes" else part.select("_klabel", "_key")
 
+    # LSM-style durable state: each committed batch writes only its DELTA
+    # (the batch's new seen keys + duplicate-metrics appends) as generation
+    # `_seen_b{N}`; every _COMPACT_EVERY deltas (and on the first write of a
+    # stream / after a legacy restore) a FULL snapshot generation is written
+    # instead (marker file `_FULL`) and the absorbed generations are deleted
+    # after the commit marker advances. Per-batch durable write cost is
+    # O(batch), not O(cumulative corpus) — the previous snapshot-per-batch
+    # design rewrote the whole seen universe every micro-batch, a quadratic
+    # total at 10^12-turn stream scale. The cumulative in-memory view is a
+    # union over at most _COMPACT_EVERY+1 generation reads, tracked in
+    # _filebacked/_dup_filebacked (the writer's own frames additionally
+    # carry the current batch's pinned layer between persists).
+    _COMPACT_EVERY = 16
+    _FULL_MARKER = "_FULL"
+    _filebacked: dict[str, Optional[DataFrame]] = {a: None for a in _SEEN_ATTRS}
+    _dup_filebacked: dict[str, Optional[DataFrame]] = {}
+    _deltas_since_full = [0]
+    _have_full_base = [False]  # a combined generation set exists on disk
+
+    def _is_full_gen(d: str) -> bool:
+        return os.path.exists(os.path.join(d, _FULL_MARKER))
+
+    def _gen_read_set(gens: dict[int, str]) -> list[str]:
+        """Paths whose union is the cumulative state: the newest FULL
+        generation plus every delta after it. A set with no marked member
+        is a single legacy pre-delta snapshot (that engine kept exactly one
+        generation alive) — read it all."""
+        full = [b for b, d in gens.items() if _is_full_gen(d)]
+        start = max(full) if full else min(gens)
+        return [gens[b] for b in sorted(gens) if b >= start]
+
     def _restore_seen(last_batch: int) -> None:
-        """Load the newest seen-id generation <= the committed batch;
+        """Load the committed generation set (newest full + later deltas);
         discard generations written by a crashed, uncommitted attempt."""
         gens = _seen_generations("_seen")
         for b, d in list(gens.items()):
@@ -266,17 +313,26 @@ def stream_kg(
                 shutil.rmtree(d, ignore_errors=True)
                 del gens[b]
         if gens:
-            combined = spark.read.parquet(gens[max(gens)])
+            paths = _gen_read_set(gens)
+            combined = _union_generations(spark, paths)
             for attr in _SEEN_ATTRS:
                 part = _seen_cols(attr, combined)
                 # an attr with zero rows stays None: anti-join vs an empty
                 # frame is the identity, and None skips the join entirely
                 if part.limit(1).count() > 0:
                     setattr(writer, attr, part)
+                    _filebacked[attr] = part
             _point_dups_at(combined)
+            for attr in _DUP_ATTRS:
+                _dup_filebacked[attr] = getattr(writer, attr)
+            _deltas_since_full[0] = len(paths) - 1
+            _have_full_base[0] = True
             return
         # legacy layout (pre-combined): one parquet dir per attr — an output
-        # dir written by an older engine restarts without losing dedup state
+        # dir written by an older engine restarts without losing dedup state.
+        # _have_full_base stays False, so the next persist writes a FULL
+        # combined snapshot (deltas alone would strand the base state in
+        # dirs the combined-first restore no longer reads).
         for attr in _SEEN_ATTRS:
             old = _seen_generations(attr)
             for b, d in list(old.items()):
@@ -284,19 +340,22 @@ def stream_kg(
                     shutil.rmtree(d, ignore_errors=True)
                     del old[b]
             if old:
-                setattr(writer, attr, spark.read.parquet(old[max(old)]))
+                restored = spark.read.parquet(old[max(old)])
+                setattr(writer, attr, restored)
+                _filebacked[attr] = restored
 
     # the duplicate-metrics frames ride in the SAME combined generation as
     # the seen-id state (kinds "_dup::duplicate_nodes"/"_dup::duplicate_edges",
     # with the metrics' own node/edge discriminator in an extra ``_dup_kind``
     # column that is null on seen rows). This serves two purposes at zero
-    # extra Spark jobs: (1) the chains built by _note_dups lazily reference
-    # seen generations that _drop_old_seen deletes after each commit — being
-    # written into the new generation evaluates them while those files still
-    # exist and repoints them at the new generation's files (the crash a
-    # per-batch eager collapse previously prevented at ~1 s/batch of extra
-    # actions); (2) the metrics tables become restart-durable alongside the
-    # dedup state instead of resetting to empty on resume.
+    # extra Spark jobs: (1) the layers _note_dups appends inside a batch
+    # lazily reference that batch's pinned frames, which are released after
+    # every persist — writing the appends into the generation evaluates
+    # them while the pins are live and repoints the writer's frames at
+    # generation files (and at compaction time, at files that survive the
+    # absorbed generations' deletion); (2) the metrics tables become
+    # restart-durable alongside the dedup state instead of resetting to
+    # empty on resume.
     _DUP_ATTRS = ("duplicate_nodes", "duplicate_edges")
 
     def _point_dups_at(combined: DataFrame) -> None:
@@ -323,32 +382,67 @@ def stream_kg(
                 ))
                 writer._dup_chain_len[attr] = 0
 
+    def _seen_row(attr: str, df: DataFrame) -> DataFrame:
+        klabel = F.col("_klabel") if "_klabel" in df.columns else F.lit(None).cast("string").alias("_klabel")
+        return df.select(
+            F.lit(attr).alias("_kind"), klabel, "_key",
+            F.lit(None).cast("string").alias("_dup_kind"),
+        )
+
+    def _dup_row(attr: str, df: DataFrame, dedup: bool) -> DataFrame:
+        # dedup=True only at compaction: it re-establishes set semantics on
+        # disk and bounds the full snapshot. Delta writes skip it — each
+        # _note_dups layer is already distinct within itself (the only
+        # possible overlap is a key that is both an in-batch and a
+        # cross-batch duplicate), and the get_duplicate_* accessors apply
+        # distinct at read; a per-batch distinct would add a shuffle to
+        # every micro-batch to save a handful of written rows
+        if dedup:
+            df = df.distinct()
+        return df.select(
+            F.lit(f"_dup::{attr}").alias("_kind"),
+            F.col("label").alias("_klabel"),
+            F.col("dup_id").alias("_key"),
+            F.col("kind").alias("_dup_kind"),
+        )
+
+    def _dup_cols(part: DataFrame) -> DataFrame:
+        return part.select(
+            F.col("_dup_kind").alias("kind"),
+            F.col("_klabel").alias("label"),
+            F.col("_key").alias("dup_id"),
+        )
+
     def _persist_seen(batch_id: int) -> None:
-        frames = []
-        for attr in _SEEN_ATTRS:
-            df = getattr(writer, attr)
-            if df is None:
-                continue
-            klabel = F.col("_klabel") if "_klabel" in df.columns else F.lit(None).cast("string").alias("_klabel")
-            frames.append(df.select(
-                F.lit(attr).alias("_kind"), klabel, "_key",
-                F.lit(None).cast("string").alias("_dup_kind"),
-            ))
-        if not frames:
+        seen_deltas, dup_deltas = writer.take_state_deltas()
+        if all(getattr(writer, a) is None for a in _SEEN_ATTRS):
             return  # no writer state yet (initial empty batches): nothing to roll
-        for attr in _DUP_ATTRS:
-            df = getattr(writer, attr)
-            if df is None:
-                continue
-            # distinct at persist keeps set semantics durable and the
-            # rewritten-every-generation metrics rows bounded; the frames
-            # are duplicate OCCURRENCE keys, tiny next to the seen state
-            frames.append(df.distinct().select(
-                F.lit(f"_dup::{attr}").alias("_kind"),
-                F.col("label").alias("_klabel"),
-                F.col("dup_id").alias("_key"),
-                F.col("kind").alias("_dup_kind"),
-            ))
+        full = (not _have_full_base[0]) or _deltas_since_full[0] >= _COMPACT_EVERY
+        if not full and not seen_deltas and not dup_deltas:
+            # match-less batch in delta mode: the state is already durable
+            # in the existing generations (they are only deleted when a
+            # newer FULL compaction supersedes them), so an empty delta
+            # generation would be pure per-batch write latency
+            return
+        frames = []
+        if full:
+            # compaction (or first combined write): snapshot the cumulative
+            # state, superseding every older generation
+            for attr in _SEEN_ATTRS:
+                df = getattr(writer, attr)
+                if df is not None:
+                    frames.append(_seen_row(attr, df))
+            for attr in _DUP_ATTRS:
+                df = getattr(writer, attr)
+                if df is not None:
+                    frames.append(_dup_row(attr, df, dedup=True))
+        else:
+            # steady state: write ONLY this batch's additions — O(batch)
+            # durable I/O however large the cumulative seen universe is
+            for attr, df in seen_deltas.items():
+                frames.append(_seen_row(attr, df))
+            for attr, df in dup_deltas.items():
+                frames.append(_dup_row(attr, df, dedup=False))
         combined = frames[0]
         for other in frames[1:]:
             combined = combined.unionByName(other)
@@ -366,21 +460,62 @@ def stream_kg(
         # partition-prune instead of decoding the other kinds' row groups
         # (the edges state typically dominates the cumulative size)
         combined.write.mode("overwrite").partitionBy("_kind").parquet(new)
+        if full:
+            with open(os.path.join(new, _FULL_MARKER), "w") as fh:
+                fh.write("")
         if os.environ.get("BIOCYPHER_STREAM_TIMING") == "1":
-            print(f"[persist_seen] write={_t.time() - _p0:.2f}s", flush=True)
+            print(f"[persist_seen] write={_t.time() - _p0:.2f}s full={full}", flush=True)
         back = spark.read.parquet(new)
-        for attr in _SEEN_ATTRS:
-            if getattr(writer, attr) is not None:
-                setattr(writer, attr, _seen_cols(attr, back))
-        _point_dups_at(back)
-        # every seen frame (and dup chain) now reads from the generation's
+        if full:
+            for attr in _SEEN_ATTRS:
+                if getattr(writer, attr) is not None:
+                    part = _seen_cols(attr, back)
+                    _filebacked[attr] = part
+                    setattr(writer, attr, part)
+            _point_dups_at(back)
+            for attr in _DUP_ATTRS:
+                _dup_filebacked[attr] = getattr(writer, attr)
+            _deltas_since_full[0] = 0
+            _have_full_base[0] = True
+        else:
+            # extend the file-backed view by this generation; the writer's
+            # frames (cumulative state = file-backed base + this batch's
+            # pinned layer) are repointed at pure file reads so the pins
+            # can be released below
+            for attr in seen_deltas:
+                part = _seen_cols(attr, back)
+                prev = _filebacked[attr]
+                merged = part if prev is None else prev.unionByName(part)
+                _filebacked[attr] = merged
+                setattr(writer, attr, merged)
+            for attr in dup_deltas:
+                part = _dup_cols(back.filter(F.col("_kind") == f"_dup::{attr}"))
+                prev = _dup_filebacked.get(attr)
+                merged = part if prev is None else prev.unionByName(part)
+                _dup_filebacked[attr] = merged
+                setattr(writer, attr, merged)
+                writer._dup_chain_len[attr] = 0
+            _deltas_since_full[0] += 1
+        # every seen frame (and dup chain) now reads from generation
         # files — the per-call persist() pins are superseded; releasing
         # them per batch is what keeps a long stream's cache O(state), not
         # O(batches x state)
         writer.release_seen_state_pins()
 
     def _drop_old_seen(batch_id: int) -> None:
-        for prefix in ("_seen",) + _SEEN_ATTRS:
+        """Delete generations superseded by a committed FULL compaction
+        (and legacy per-attr dirs once a combined base exists). Delta
+        generations stay until the next compaction absorbs them."""
+        gens = {b: d for b, d in _seen_generations("_seen").items() if b <= batch_id}
+        if not gens:
+            return
+        full = [b for b, d in gens.items() if _is_full_gen(d)]
+        if full:
+            cut = max(full)
+            for b, d in gens.items():
+                if b < cut:
+                    shutil.rmtree(d, ignore_errors=True)
+        for prefix in _SEEN_ATTRS:
             for b, d in _seen_generations(prefix).items():
                 if b < batch_id:
                     shutil.rmtree(d, ignore_errors=True)
@@ -474,10 +609,10 @@ def stream_kg(
                 os.path.basename(f)
                 for f in glob.glob(os.path.join(output_directory, "*-part*.csv"))
             )
-        # persist seen state UNCONDITIONALLY (a match-less batch carries the
-        # previous state forward as its own generation) — otherwise the
-        # marker advances, _drop_old_seen deletes the only surviving
-        # generation, and cross-batch dedup is silently reset
+        # persist this batch's state delta (or a full compaction when one
+        # is due); a match-less batch writes nothing in delta mode — its
+        # state is already durable in the surviving generations, which
+        # _drop_old_seen only deletes once a newer FULL gen supersedes them
         _persist_seen(batch_id)
         _mark("persist_seen")
         tmp = committed_path + ".tmp"
@@ -504,9 +639,10 @@ def stream_kg(
 def read_stream_state(spark: SparkSession, output_directory: str) -> dict:
     """Out-of-process readout of a stream's durable state/metrics tables.
 
-    Reads the newest COMMITTED combined state generation under
-    ``{output}/_stream_meta`` (written by :func:`stream_kg` once per
-    micro-batch) and returns row counts per kind: cumulative seen ids
+    Reads the COMMITTED combined state generations under
+    ``{output}/_stream_meta`` (a full compaction plus per-batch deltas,
+    written by :func:`stream_kg`) and returns row counts per kind:
+    cumulative seen ids
     (``_seen_nodes``/``_seen_edges``/``_seen_ran``) and the duplicate-metrics
     tables (``duplicate_nodes``/``duplicate_edges``). Works on a live or
     finished stream — the generation files are immutable once written and
@@ -536,17 +672,36 @@ def read_stream_state(spark: SparkSession, output_directory: str) -> dict:
 
     gens = _committed_gens("_seen")
     if gens:
-        counts = {
+        # cumulative state = the newest FULL generation plus every delta
+        # after it (a markerless set is a single legacy full snapshot).
+        # Seen keys are disjoint across generations (each delta holds only
+        # keys its batch's anti-join admitted); duplicate-metrics rows may
+        # recur across delta generations, so they are counted distinct —
+        # matching the per-compaction distinct the writer applies on disk.
+        full = [
+            b for b, d in gens.items() if os.path.exists(os.path.join(d, "_FULL"))
+        ]
+        start = max(full) if full else min(gens)
+        paths = [gens[b] for b in sorted(gens) if b >= start]
+        combined = _union_generations(spark, paths)
+        seen_counts = {
             r["_kind"]: r["n"]
-            for r in spark.read.parquet(gens[max(gens)])
+            for r in combined.filter(~F.col("_kind").startswith("_dup::"))
+            .groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dup_cols = [c for c in ("_kind", "_klabel", "_key", "_dup_kind") if c in combined.columns]
+        dup_counts = {
+            r["_kind"]: r["n"]
+            for r in combined.filter(F.col("_kind").startswith("_dup::"))
+            .dropDuplicates(dup_cols)
             .groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         return {
-            "seen_nodes": counts.get("_seen_nodes", 0),
-            "seen_edges": counts.get("_seen_edges", 0),
-            "seen_rel_as_node": counts.get("_seen_ran", 0),
-            "duplicate_nodes": counts.get("_dup::duplicate_nodes", 0),
-            "duplicate_edges": counts.get("_dup::duplicate_edges", 0),
+            "seen_nodes": seen_counts.get("_seen_nodes", 0),
+            "seen_edges": seen_counts.get("_seen_edges", 0),
+            "seen_rel_as_node": seen_counts.get("_seen_ran", 0),
+            "duplicate_nodes": dup_counts.get("_dup::duplicate_nodes", 0),
+            "duplicate_edges": dup_counts.get("_dup::duplicate_edges", 0),
         }
     # legacy layout (one parquet dir per attr, pre-combined engine): the
     # dedup state stream_kg would restore from is real — report it.

@@ -168,6 +168,17 @@ class Neo4jBatchWriter:
         # superseded cache entries (Spark's CacheManager never frees them
         # on GC; a long stream would otherwise leak O(batches x total-ids))
         self._seen_pins: list[DataFrame] = []
+        # per-call STATE DELTAS since the last take_state_deltas(): the new
+        # seen keys each _dedup_against_seen call admitted and the
+        # duplicate-metrics rows each _note_dups call appended. stream_kg
+        # persists THESE per micro-batch (O(batch) durable write) instead of
+        # re-snapshotting the cumulative state (O(corpus) per batch — at
+        # 10^12-turn stream scale the snapshot design writes the whole seen
+        # universe once per micro-batch, a quadratic total). Batch callers
+        # that never consume deltas hold only lazy plan objects here; they
+        # are cleared alongside the pins in release_seen_state_pins().
+        self._seen_deltas: dict[str, DataFrame] = {}
+        self._dup_deltas: dict[str, DataFrame] = {}
 
     # -- label strings ------------------------------------------------------
 
@@ -285,6 +296,8 @@ class Neo4jBatchWriter:
         eventual evaluation plan."""
         prev = getattr(self, attr)
         merged = dups if prev is None else prev.unionByName(dups)
+        prev_delta = self._dup_deltas.get(attr)
+        self._dup_deltas[attr] = dups if prev_delta is None else prev_delta.unionByName(dups)
         self._dup_chain_len[attr] = self._dup_chain_len.get(attr, 0) + 1
         if self._dup_chain_len[attr] >= self._DUP_COLLAPSE:
             merged = materialize(merged.distinct())
@@ -304,6 +317,14 @@ class Neo4jBatchWriter:
         occurrences are accumulated into metrics frames (D4)."""
         w = Window.partitionBy(*key_cols).orderBy(SEQ)
         ranked = df.withColumn("_rn", F.row_number().over(w))
+        # NOTE (negative result): pinning `ranked` pre-filter here (so the
+        # stream's duplicate-metrics delta avoids re-running the window at
+        # state-write time) saved ~0.6s/micro-batch at 32 cores but OOMs
+        # the spark-submit default 1g driver heap at local[8] — the extra
+        # full-row cache (on top of the mentions/edge_tuples/batch_first
+        # pins) doesn't fit; serialized storage didn't fit either. The
+        # window re-run reads the upstream pins, so it's bounded per-batch
+        # work, not a scale hazard.
         dups = (
             ranked.filter(F.col("_rn") > 1)
             .select(F.lit(kind).alias("kind"), F.col(label_col).alias("label"), F.col(key_cols[-1]).alias("dup_id"))
@@ -353,6 +374,10 @@ class Neo4jBatchWriter:
         if merged is not new_keys:
             self._seen_pins.append(merged)
         setattr(self, seen_attr, merged)
+        prev_delta = self._seen_deltas.get(seen_attr)
+        self._seen_deltas[seen_attr] = (
+            new_keys if prev_delta is None else prev_delta.unionByName(new_keys)
+        )
         return batch_first
 
     def release_seen_state_pins(self) -> None:
@@ -365,6 +390,19 @@ class Neo4jBatchWriter:
         for df in self._seen_pins:
             df.unpersist()
         self._seen_pins.clear()
+        self._seen_deltas.clear()
+        self._dup_deltas.clear()
+
+    def take_state_deltas(self) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+        """Hand over (and clear) the seen-key / duplicate-metrics deltas
+        accumulated since the last call — the frames a streaming caller
+        persists per micro-batch. MUST be consumed (written out) before
+        release_seen_state_pins(): the delta frames reference the batch
+        pins, and after release their lineage points at a foreachBatch
+        input that no longer exists."""
+        seen, dups = self._seen_deltas, self._dup_deltas
+        self._seen_deltas, self._dup_deltas = {}, {}
+        return seen, dups
 
     # -- nodes ----------------------------------------------------------------
 

@@ -487,3 +487,79 @@ def test_stream_kg_duplicate_free_stream_survives_generation_drop(spark, tmp_pat
     state = read_stream_state(spark, outdir)
     assert state["duplicate_nodes"] == 0 and state["duplicate_edges"] == 0
     assert state["seen_nodes"] > 0
+
+
+def test_stream_kg_delta_generations_and_compaction(spark, tmp_path):
+    """Durable state is LSM-shaped: each batch persists only its DELTA
+    (O(batch) write, not O(cumulative corpus) — at 10^12-turn scale the
+    snapshot-per-batch design rewrites the whole seen universe every
+    micro-batch); every 16 deltas a FULL compaction generation absorbs and
+    deletes the older ones. 20 single-file batches cross one compaction
+    boundary: the surviving layout must be exactly {full@17, delta@18,
+    delta@19}, deltas must be batch-sized, and cross-batch dedup plus the
+    out-of-process state readout must see the union."""
+    import glob
+    import json
+
+    from biocypher_spark.streaming.stream import read_stream_state, stream_kg
+
+    indir = str(tmp_path / "in")
+    generate_transcripts(spark, 2000, partitions=20).write.mode("overwrite").parquet(indir)
+    outdir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=1).awaitTermination(600)
+
+    meta = os.path.join(outdir, "_stream_meta")
+    committed = json.load(open(os.path.join(meta, "committed.json")))
+    assert committed["last_batch"] == 19
+    gens = sorted(
+        int(os.path.basename(d).rsplit("_b", 1)[1])
+        for d in glob.glob(os.path.join(meta, "_seen_b*"))
+    )
+    # batch 0 wrote the initial FULL base; batches 1-16 were deltas; batch
+    # 17 hit the 16-delta threshold and compacted (deleting 0-16); 18/19
+    # are deltas on top of it
+    assert gens == [17, 18, 19]
+    marked = [b for b in gens if os.path.exists(os.path.join(meta, f"_seen_b{b}", "_FULL"))]
+    assert marked == [17]
+
+    # a delta generation holds ~one batch's new keys, not the cumulative
+    # state: by batch 18 the 50-protein/20-disease vocabulary is long
+    # saturated, so its seen-key rows must be a sliver of the compacted
+    # full's (the dup-metrics ride-along rows are counted separately —
+    # they scale with batch occurrences, not the cumulative universe)
+    def _kind_counts(gen):
+        df = spark.read.parquet(os.path.join(meta, f"_seen_b{gen}"))
+        return {
+            r["_kind"]: r["n"]
+            for r in df.groupBy("_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    full_seen = sum(n for k, n in _kind_counts(17).items() if not k.startswith("_dup::"))
+    delta_seen = sum(n for k, n in _kind_counts(18).items() if not k.startswith("_dup::"))
+    assert full_seen > 0 and delta_seen * 4 < full_seen
+
+    # cross-batch dedup held across the compaction boundary
+    seen: set = set()
+    for label in ("Protein", "Disease"):
+        for p in glob.glob(os.path.join(outdir, f"{label}-part*.csv")):
+            for line in open(p):
+                nid = line.split(";")[0]
+                assert nid not in seen
+                seen.add(nid)
+
+    # the out-of-process readout unions full + deltas
+    state = read_stream_state(spark, outdir)
+    assert state["seen_nodes"] == len(seen)
+
+    # restart on replayed input: restore = full + deltas; every node must
+    # be recognized as already seen (no part file grows)
+    parts_before = {
+        p: os.path.getsize(p) for p in glob.glob(os.path.join(outdir, "*-part*.csv"))
+    }
+    generate_transcripts(spark, 2000, partitions=1).write.mode("append").parquet(indir)
+    stream_kg(spark, indir, outdir, ckpt, max_files_per_trigger=20).awaitTermination(300)
+    parts_after = {
+        p: os.path.getsize(p) for p in glob.glob(os.path.join(outdir, "*-part*.csv"))
+    }
+    assert parts_after == parts_before
