@@ -316,6 +316,8 @@ class Neo4jBatchWriter:
         replaces the reference's cross-call in-memory seen-sets. Duplicate
         occurrences are accumulated into metrics frames (D4)."""
         w = Window.partitionBy(*key_cols).orderBy(SEQ)
+        if self.lazy_seen_pins and self.track_seen:
+            return self._dedup_lazy(df, key_cols, seen_attr, kind, label_col, w)
         ranked = df.withColumn("_rn", F.row_number().over(w))
         # NOTE (negative result): pinning `ranked` pre-filter here (so the
         # stream's duplicate-metrics delta avoids re-running the window at
@@ -325,8 +327,22 @@ class Neo4jBatchWriter:
         # pins) doesn't fit; serialized storage didn't fit either. The
         # window re-run reads the upstream pins, so it's bounded per-batch
         # work, not a scale hazard.
+        #
+        # The duplicate-metrics side gets its OWN window over a NARROW
+        # (label, key, seq) projection instead of sharing `ranked`: the
+        # dups plan is an independent subtree (only post-filter batch_first
+        # is cached), so every evaluation — notably the stream's per-batch
+        # state-delta write — re-runs the window, and sorting full-width
+        # rows (props maps dominate the row size) cost ~2.5s/micro-batch at
+        # 250k turns where the 3-column sort is ~0.4s. Tie order under
+        # equal SEQ may differ between the two windows, but the metrics
+        # record only the distinct (label, dup_id) pairs of non-first rows,
+        # which is tie-invariant whenever SEQ is unique per row (both tuple
+        # sources stamp a per-row monotonic _seq).
+        narrow_cols = list(dict.fromkeys([label_col, *key_cols, SEQ]))
+        ranked_narrow = df.select(*narrow_cols).withColumn("_rn", F.row_number().over(w))
         dups = (
-            ranked.filter(F.col("_rn") > 1)
+            ranked_narrow.filter(F.col("_rn") > 1)
             .select(F.lit(kind).alias("kind"), F.col(label_col).alias("label"), F.col(key_cols[-1]).alias("dup_id"))
             .distinct()
         )
@@ -344,31 +360,90 @@ class Neo4jBatchWriter:
             )
             self._note_dups(attr, cross_dups)
             batch_first = batch_first.join(seen, key_cols, "left_anti")
-        if self.lazy_seen_pins:
-            # LAZY shared pin (stream fast path): cache the post-dedup frame
-            # ITSELF (before the caller's .drop/.select projections) so
-            # every downstream plan — the writer's firsts-collect and part
-            # write, the seen-keys selection below, the next call's
-            # anti-join, stream_kg's generation write — substitutes the
-            # SAME cached subtree instead of re-running the window +
-            # anti-join per consumer. No eager count: the first consumer's
-            # job evaluates the cache (2 scheduled jobs per micro-batch
-            # saved, and one window evaluation instead of two). The full-row
-            # pin is released by release_seen_state_pins() each batch.
-            batch_first = batch_first.persist()
-            self._seen_pins.append(batch_first)
-            new_keys = batch_first.select(*key_cols).persist()
-        else:
-            # eager pin: evaluate the seen keys NOW so they are fixed even
-            # when the writer's input plan is nondeterministic (ad-hoc
-            # batch callers), at the cost of one scheduled job per call
-            new_keys = batch_first.select(*key_cols).persist()
-            new_keys.count()
+        # eager pin: evaluate the seen keys NOW so they are fixed even
+        # when the writer's input plan is nondeterministic (ad-hoc
+        # batch callers), at the cost of one scheduled job per call
+        new_keys = batch_first.select(*key_cols).persist()
+        new_keys.count()
         # the union needs NO distinct: new_keys is key-unique (row_number==1
         # keeps one row per key) and disjoint from seen (the anti-join
         # above), and seen is distinct by this same induction — a distinct
         # here would re-shuffle the ENTIRE cumulative seen state on every
         # call, O(all ids ever written) per micro-batch at stream scale
+        merged = new_keys if seen is None else seen.unionByName(new_keys).persist()
+        self._seen_pins.append(new_keys)
+        if merged is not new_keys:
+            self._seen_pins.append(merged)
+        setattr(self, seen_attr, merged)
+        prev_delta = self._seen_deltas.get(seen_attr)
+        self._seen_deltas[seen_attr] = (
+            new_keys if prev_delta is None else prev_delta.unionByName(new_keys)
+        )
+        return batch_first
+
+    def _dedup_lazy(self, df: DataFrame, key_cols: list, seen_attr: str, kind: str, label_col: str, w) -> DataFrame:
+        """Stream fast path (``lazy_seen_pins``): one window evaluation per
+        call, duplicate metrics derived from the CACHED first-rows frame.
+
+        The eager path's duplicate-metrics frames are independent plan
+        subtrees (only post-dedup ``batch_first`` is cached), so the
+        stream's per-batch state-delta write re-ran the whole upstream —
+        mention pins -> triple aggregation -> translate -> window — once
+        per metrics frame (profiled ~2s of a ~8s micro-batch at 250k turns
+        for frames that are usually EMPTY). Here the window additionally
+        folds each key group's duplicate evidence into the surviving first
+        row as ``_dup_labels`` — ``collect_set(when(_rn > 1, label))``,
+        bounded by the LABEL VOCABULARY, never group size, so a hot key
+        with millions of occurrences stays O(labels) in state (NULL labels
+        on duplicate rows are not representable in the set and are
+        dropped; translated frames always carry labels) — and every
+        metrics frame becomes a projection of tiny cached frames:
+
+        - within-batch dups: explode ``_dup_labels`` off the firsts cache
+          (key-unique, per-key label set => no distinct needed);
+        - cross-batch dups: firsts ANTI batch_first keys — the complement
+          of the seen anti-join, read from the two caches with NO extra
+          scan of the cumulative seen generations;
+        - the post-anti-join ``batch_first`` is cached SEPARATELY so the
+          writer's downstream consumers (firsts-collect, part write, seen
+          keys, next call's anti-join, the stream's generation write)
+          share one anti-join evaluation.
+
+        No eager count anywhere: the first consumer's job evaluates each
+        cache. All pins are released by release_seen_state_pins() once the
+        stream repoints the frames at durable generation files."""
+        attr = "duplicate_nodes" if kind == "node" else "duplicate_edges"
+        w_all = Window.partitionBy(*key_cols).orderBy(SEQ).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        ranked = ranked.withColumn(
+            "_dup_labels",
+            F.collect_set(F.when(F.col("_rn") > 1, F.col(label_col))).over(w_all),
+        )
+        firsts = ranked.filter(F.col("_rn") == 1).drop("_rn").persist()
+        self._seen_pins.append(firsts)
+        dups = firsts.filter(F.size("_dup_labels") > 0).select(
+            F.lit(kind).alias("kind"),
+            F.explode("_dup_labels").alias("label"),
+            F.col(key_cols[-1]).alias("dup_id"),
+        )
+        self._note_dups(attr, dups)
+        seen = getattr(self, seen_attr)
+        if seen is not None:
+            batch_first = firsts.join(seen, key_cols, "left_anti").drop("_dup_labels").persist()
+            self._seen_pins.append(batch_first)
+            cross_dups = firsts.join(
+                batch_first.select(*key_cols), key_cols, "left_anti"
+            ).select(
+                F.lit(kind).alias("kind"),
+                F.col(label_col).alias("label"),
+                F.col(key_cols[-1]).alias("dup_id"),
+            )
+            self._note_dups(attr, cross_dups)
+        else:
+            batch_first = firsts.drop("_dup_labels")
+        new_keys = batch_first.select(*key_cols).persist()
         merged = new_keys if seen is None else seen.unionByName(new_keys).persist()
         self._seen_pins.append(new_keys)
         if merged is not new_keys:
