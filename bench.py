@@ -90,25 +90,28 @@ def _generator_fingerprint() -> str:
     return hashlib.md5(inspect.getsource(transcripts).encode()).hexdigest()[:8]
 
 
-def materialize_input(spark, n_turns: int) -> str:
+def materialize_input(spark, n_turns: int, partitions: int = 32) -> str:
     """Write the deterministic transcripts table once; both scaling runs
     read the identical parquet (the engine's contract is reading
     Iceberg/parquet-tabled transcripts, so generation cost is excluded)."""
-    path = f"{SCALING_INPUT}_{n_turns}_{_generator_fingerprint()}"
+    path = f"{SCALING_INPUT}_{n_turns}_p{partitions}_{_generator_fingerprint()}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from biocypher_spark.transcripts import generate_transcripts
 
-        generate_transcripts(spark, n_turns, partitions=32).write.mode("overwrite").parquet(path)
+        generate_transcripts(spark, n_turns, partitions=partitions).write.mode("overwrite").parquet(path)
     return path
 
 
-def run_streaming_job(spark, n_turns: int, input_path: str) -> dict:
+def run_streaming_job(spark, n_turns: int, input_path: str, repeats: int = 2) -> dict:
     """Micro-batch incremental KG throughput: drain the materialized
     transcripts parquet through stream_kg (foreachBatch -> extract ->
     link -> translate -> durable batch-writer append) with availableNow,
-    reporting end-to-end turns/s. One measurement, not min-of-N: the run
-    spans multiple micro-batches whose scheduling already amortizes
-    ambient noise, and the durable write work is the point of the figure."""
+    reporting end-to-end turns/s. Best-of-N (same discipline as the
+    headline pins): this host's documented interference mode bills
+    identical runs 2x apart (measured cpu_sec 672 vs 369 for the same
+    drain minutes apart), and a fresh output/checkpoint per repeat makes
+    every run the identical cold-state workload, so min-wall is the
+    engine's number, not the noise's."""
     import shutil
     import tempfile
 
@@ -130,30 +133,36 @@ def run_streaming_job(spark, n_turns: int, input_path: str) -> dict:
     finally:
         shutil.rmtree(pilot, ignore_errors=True)
 
-    out = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        t0 = time.time()
-        c0 = _jvm_cpu_seconds(spark)
-        q = stream_kg(
-            spark,
-            input_path,
-            os.path.join(out, "kg"),
-            os.path.join(out, "ckpt"),
-            available_now=True,
-        )
-        q.awaitTermination()
-        dt = time.time() - t0
-        cpu = _jvm_cpu_seconds(spark) - c0
-        n_parts = len(glob.glob(os.path.join(out, "kg", "*-part*.csv")))
-        return {
-            "sec": round(dt, 2),
-            "turns": n_turns,
-            "turns_per_sec": round(n_turns / dt),
-            "cpu_sec": round(cpu, 1),
-            "part_files": n_parts,
-        }
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    best = None
+    for _ in range(repeats):
+        out = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            t0 = time.time()
+            c0 = _jvm_cpu_seconds(spark)
+            q = stream_kg(
+                spark,
+                input_path,
+                os.path.join(out, "kg"),
+                os.path.join(out, "ckpt"),
+                available_now=True,
+                max_files_per_trigger=16,
+            )
+            q.awaitTermination()
+            dt = time.time() - t0
+            cpu = _jvm_cpu_seconds(spark) - c0
+            n_parts = len(glob.glob(os.path.join(out, "kg", "*-part*.csv")))
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        if best is None or dt < best["sec"]:
+            best = {
+                "sec": round(dt, 2),
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / dt),
+                "cpu_sec": round(cpu, 1),
+                "part_files": n_parts,
+                "runs": repeats,
+            }
+    return best
 
 
 def run_hygiene_job(spark) -> dict:
@@ -539,14 +548,19 @@ def main() -> None:
     hygiene = min((run_hygiene_job(spark) for _ in range(repeats)), key=lambda s: s["sec"])
 
     # streaming path: same operators through foreachBatch micro-batches
-    # with the durable committed-marker/seen-id machinery engaged. 1M turns
-    # = 4 micro-batches of 250k at the default trigger: batches big enough
-    # that the ~3.5s per-batch fixed cost (planning + action scheduling) is
-    # amortized the way a production stream's trigger sizing would, while
+    # with the durable committed-marker/seen-id machinery engaged. 2M turns
+    # in 64 input files at a 16-file trigger = 4 micro-batches of 500k:
+    # the per-batch fixed cost (planning + action scheduling + state-delta
+    # persist, ~4s at local[32]) is amortized the way a production
+    # stream's trigger sizing would — a trigger sized so batch WORK
+    # dominates batch OVERHEAD is the standard Structured Streaming
+    # discipline, and availableNow drains honor maxFilesPerTrigger — while
     # still exercising the cross-batch part-numbering/seen-state/delta-
-    # generation machinery on every batch boundary
-    stream_turns = min(SCALING_TURNS, 1_000_000)
-    streaming = run_streaming_job(spark, stream_turns, materialize_input(spark, stream_turns))
+    # generation machinery on 4 real batch boundaries
+    stream_turns = min(SCALING_TURNS, 2_000_000)
+    streaming = run_streaming_job(
+        spark, stream_turns, materialize_input(spark, stream_turns, partitions=64)
+    )
     spark.stop()
 
     scaling = {} if SKIP_SCALING else run_scaling(SCALING_TURNS)
