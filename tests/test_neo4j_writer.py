@@ -300,3 +300,59 @@ def test_empty_sanitized_label_gets_placeholder():
     assert pascal_file_label("") == "Unlabeled"
     assert pascal_file_label("\u6f22\u5b57") == "Unlabeled"
     assert pascal_file_label("protein") == "Protein"
+
+
+def test_lazy_dedup_matches_eager(spark, schema_path, tmp_path):
+    """The stream fast path (lazy_seen_pins) must be OBSERVABLY identical
+    to the eager cross-call dedup: same surviving rows in the part files,
+    same within-batch and cross-batch duplicate metrics, same seen state.
+    Two batches: batch 1 carries an in-batch duplicate (p1 twice, second
+    occurrence under a different label); batch 2 replays p1/p2 (cross-batch
+    dups) and introduces p3 with its own in-batch duplicate."""
+    import glob as _glob
+
+    translator = SparkTranslator(spark, NullOntology(SchemaMapping(schema_path)))
+    batch1 = [
+        ("p1", "protein", {"name": "a", "score": 1.0, "taxon": 1, "genes": []}),
+        ("p2", "protein", {"name": "b", "score": 2.0, "taxon": 1, "genes": []}),
+        ("p1", "mirna", {"name": "dup", "taxon": 1}),
+    ]
+    batch2 = [
+        ("p1", "protein", {"name": "a2", "score": 3.0, "taxon": 1, "genes": []}),
+        ("p3", "protein", {"name": "c", "score": 4.0, "taxon": 1, "genes": []}),
+        ("p3", "protein", {"name": "c-dup", "score": 5.0, "taxon": 1, "genes": []}),
+        ("p2", "mirna", {"name": "replay", "taxon": 1}),
+    ]
+
+    results = {}
+    for mode, lazy in (("eager", False), ("lazy", True)):
+        outdir = tmp_path / mode
+        outdir.mkdir()
+        w = Neo4jBatchWriter(
+            spark, translator, str(outdir), ordered_parts=False,
+            track_seen=True, lazy_seen_pins=lazy,
+        )
+        for batch in (batch1, batch2):
+            w.write_nodes(translator.translate_nodes(nodes_from_tuples(spark, batch)).nodes)
+        lines = sorted(
+            line
+            for p in _glob.glob(str(outdir / "*-part*.csv"))
+            for line in open(p).read().splitlines()
+        )
+        dups = sorted(
+            (r["kind"], r["label"], r["dup_id"])
+            for r in w.get_duplicate_nodes().distinct().collect()
+        )
+        seen = sorted(r["_key"] for r in w._seen_nodes.collect())
+        results[mode] = (lines, dups, seen)
+
+    assert results["lazy"][0] == results["eager"][0]  # surviving rows
+    assert results["lazy"][1] == results["eager"][1]  # duplicate metrics
+    assert results["lazy"][2] == results["eager"][2] == ["p1", "p2", "p3"]
+    # and the metrics themselves are what the two batches imply
+    assert results["lazy"][1] == [
+        ("node", "microRNA", "p1"),  # batch-1 in-batch dup (second label)
+        ("node", "microRNA", "p2"),  # batch-2 cross-batch replay of p2
+        ("node", "protein", "p1"),   # batch-2 cross-batch replay of p1
+        ("node", "protein", "p3"),   # batch-2 in-batch dup
+    ]
