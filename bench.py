@@ -165,16 +165,62 @@ def run_streaming_job(spark, n_turns: int, input_path: str, repeats: int = 2) ->
     return best
 
 
-def run_hygiene_job(spark) -> dict:
-    """clean_corpus end-to-end over the documents table: audit frame +
-    per-stage metrics forced through a noop sink; docs/s of the composed
-    exact-dedup -> near-dup-CC -> decontamination -> quality pipeline."""
+HYGIENE_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_HYGIENE_MULT", "300"))
+
+
+def materialize_hygiene_corpus(spark, mult: int) -> str:
+    """Deterministic expanded documents corpus for the hygiene SCALING
+    protocol: each sf-table doc becomes ``mult`` variants (variant 0
+    verbatim, the rest suffixed with a variant token — textual near-
+    neighbours that exercise the banding/verify stages without changing
+    which base docs are exact dups). The 5,000-doc sf0.1 table is far too
+    small for a 2-vs-8-core ratio — at that size per-stage scheduling
+    latency (invariant in cores) dominates and the measured 'efficiency'
+    is the scheduler's, not the operators' (observed 0.35; the composed
+    pipeline's ~20 sequential job submissions cost a measured ~12 s on
+    this host REGARDLESS of core count or corpus size — fitting
+    t(c) = f + W/c across 2/8-core runs at two corpus sizes gives
+    f ~= 12 s with the variable part scaling ~1.0). At mult=300 ->
+    1.5M docs the banded near-dup work dominates that floor. Both
+    parallelism levels read the identical parquet."""
+    from pyspark.sql import functions as F
+
+    path = f"{SCALING_INPUT}_hyg_{os.path.basename(SF_DIR.rstrip('/'))}_{mult}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        out = (
+            docs.withColumn("_v", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                F.concat_ws("#", "doc_id", "_v").alias("doc_id"),
+                F.when(F.col("_v") == 0, F.col("text"))
+                .otherwise(
+                    F.concat_ws(" ", "text", F.lit("variant"), F.col("_v").cast("string"))
+                )
+                .alias("text"),
+                "lang",
+                "source",
+            )
+            .withColumn("n_chars", F.length("text"))
+            .repartition(32)
+        )
+        out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_hygiene_job(spark, input_path: str | None = None) -> dict:
+    """clean_corpus end-to-end over the documents table (or a materialized
+    corpus at ``input_path``): audit frame + per-stage metrics forced
+    through a noop sink; docs/s of the composed exact-dedup -> near-dup-CC
+    -> decontamination -> quality pipeline."""
     from pyspark.sql import functions as F
 
     from biocypher_spark.queries import _t
     from biocypher_spark.textops import clean_corpus, hygiene_report
 
-    docs = _t(spark, SF_DIR, "documents", materialize=True)
+    if input_path:
+        docs = spark.read.parquet(input_path)
+    else:
+        docs = _t(spark, SF_DIR, "documents", materialize=True)
     n_docs = docs.count()
     # probes drawn from the corpus vocabulary so the shingle semi-join does
     # real decontamination work (and some docs actually drop)
@@ -267,17 +313,23 @@ def scaling_worker(cores: int, n_turns: int, runs: int = 2, job: str = "pipeline
     spark = build_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     if job == "hygiene":
-        # same protocol as the pipeline worker: warm the JVM/codegen/Python
-        # workers on a small slice, then best-of-N on the full documents
-        # table (the composed exact->near-dup->decontam->quality operator)
-        from biocypher_spark.queries import _t
+        # same protocol as the pipeline worker: warm the JVM/codegen on a
+        # small slice, touch the input end-to-end for hot page cache, then
+        # best-of-N on the EXPANDED corpus (the composed exact->near-dup->
+        # decontam->quality operator at a size where banding work, not
+        # per-stage scheduling latency, is what the ratio measures)
         from biocypher_spark.textops import clean_corpus
 
-        warm = _t(spark, SF_DIR, "documents", materialize=True).limit(200)
+        path = materialize_hygiene_corpus(spark, HYGIENE_SCALE_MULT)
+        warm = spark.read.parquet(path).limit(200)
         clean_corpus(warm, near_threshold=0.9, quality_min=0.05, near_mode="star").write.mode(
             "overwrite"
         ).format("noop").save()
-        stats = min((run_hygiene_job(spark) for _ in range(max(runs, 1))), key=lambda s: s["sec"])
+        spark.read.parquet(path).write.mode("overwrite").format("noop").save()
+        stats = min(
+            (run_hygiene_job(spark, input_path=path) for _ in range(max(runs, 1))),
+            key=lambda s: s["sec"],
+        )
         print("SCALING_RESULT " + json.dumps(stats))
         spark.stop()
         return

@@ -767,6 +767,15 @@ def contamination_check(df: DataFrame, probes: list, text_col: str = "text") -> 
     return df.select("doc_id", F.coalesce(hit, F.lit(False)).alias("contaminated"))
 
 
+# contamination_join strategy bounds: <= _PROBE_SCAN_MAX probes evaluate as
+# broadcast `contains` scans (cost ~ docs x probes x chars, cheap for probe
+# LISTS); <= _PROBE_BROADCAST_MAX probe strings still fit an executor-side
+# broadcast hash set for the gram semi-join (~tens of MB); beyond that the
+# gram join shuffles.
+_PROBE_SCAN_MAX = 64
+_PROBE_BROADCAST_MAX = 1_000_000
+
+
 def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text", probe_col: str = "probe") -> DataFrame:
     """Benchmark-contamination screen for probe sets too large to inline
     (millions of eval n-grams): semi-join the corpus's character n-grams
@@ -774,13 +783,27 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     :func:`contamination_check` — a document is contaminated iff any of its
     length-L substrings equals a probe of length L.
 
-    Scale shape: the driver collects only the DISTINCT PROBE LENGTHS (a
-    handful of ints, never the probes); the corpus is exploded into its
-    distinct per-document character L-grams for those lengths (linear in
-    corpus bytes, rows are (doc_id, short-string) — document bodies never
-    shuffle) and LEFT SEMI joined against the probe strings. Small probe
-    tables broadcast (AQE); large ones shuffle on the gram, the exact-join
-    decontamination path used for real eval-set screens.
+    Scale shape, chosen by probe cardinality (the driver only ever sees a
+    bounded count probe and the distinct probe LENGTHS — a handful of
+    ints, never the probe strings):
+
+    - ``<= _PROBE_SCAN_MAX`` probes: broadcast the probe table against the
+      corpus and evaluate ``contains`` directly — zero gram
+      materialization, one linear scan of the bodies per doc x probe.
+      ``contains(text, p)`` is exactly "some length-|p| substring equals
+      p", so the two strategies are interchangeable; this one wins
+      whenever docs x probes character-scans cost less than exploding
+      every document into its L-gram rows (measured 64 s -> ~2 s at 300k
+      docs / 2 probes, where the gram path materialized 84M substrings).
+    - larger probe tables (real eval-set screens, millions of n-grams):
+      explode the corpus into its character L-grams for the distinct probe
+      lengths (linear in corpus bytes, rows are (doc_id, short-string) —
+      document bodies never shuffle) and LEFT SEMI join against the probe
+      strings. Probe sides up to ~1M rows get an explicit broadcast hint
+      (the gram side then never shuffles either — measured 1.8x; AQE's
+      runtime conversion cannot save the gram exchange it has already
+      planned); beyond that the join shuffles narrow gram rows, never
+      bodies.
     """
     lens = [r[0] for r in probes.select(F.length(probe_col).alias("l")).distinct().collect()]
     if 0 in lens:
@@ -790,16 +813,30 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     lengths = sorted(l for l in lens if l)  # NULL probes ignored, like check
     if not lengths:
         return df.select("doc_id", F.lit(False).alias("contaminated"))
-    gram_arrays = [shingles(F.col(text_col), n) for n in lengths]
-    grams = df.select(
-        "doc_id",
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
-    )
-    probe_keys = probes.select(F.col(probe_col).alias("g")).distinct()
-    hits = grams.join(probe_keys, "g", "semi").select("doc_id").distinct()
+    # bounded count probe: limit() caps the scan, so a billion-row probe
+    # table costs one partition-local limit, not a full count
+    n_probes = probes.limit(_PROBE_SCAN_MAX + 1).count()
+    if n_probes <= _PROBE_SCAN_MAX:
+        hit_docs = (
+            df.select("doc_id", text_col)
+            .crossJoin(F.broadcast(probes.select(F.col(probe_col).alias("_p")).distinct()))
+            .filter(F.col(text_col).contains(F.col("_p")))
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        gram_arrays = [shingles(F.col(text_col), n) for n in lengths]
+        grams = df.select(
+            "doc_id",
+            F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
+        )
+        probe_keys = probes.select(F.col(probe_col).alias("g")).distinct()
+        if probes.limit(_PROBE_BROADCAST_MAX + 1).count() <= _PROBE_BROADCAST_MAX:
+            probe_keys = F.broadcast(probe_keys)
+        hit_docs = grams.join(probe_keys, "g", "semi").select("doc_id").distinct()
     return (
         df.select("doc_id")
-        .join(hits.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .join(hit_docs.withColumn("_hit", F.lit(True)), "doc_id", "left")
         .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
     )
 
