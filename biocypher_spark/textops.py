@@ -1210,7 +1210,36 @@ def clean_corpus(
         )
         drops.append(sem_drops)
 
-    if probes is not None:
+    fused_cq = probes is not None and quality_min is not None
+    if fused_cq:
+        # FUSED contamination+quality: both stages read the same survivor
+        # set, and the sequential form's only cross-effect is precedence
+        # (a doc that is both contaminated and low-quality reports
+        # contaminated, because the quality stage never saw it). Computing
+        # both flag sets over the SAME survivors and resolving precedence
+        # in the final audit join produces the identical audit frame with
+        # ONE materialize barrier instead of two — each eager pin is a
+        # full job submission whose latency is core-count-invariant, so on
+        # the composed pipeline the sequential form's extra barrier is
+        # pure scaling-floor (measured ~2.5s of the 2-core-vs-8-core
+        # invariant cost at 1.5M docs, with identical outcomes).
+        surv = survivors()
+        flagged = (
+            contamination_join(surv, probes, text_col=text_col)
+            if isinstance(probes, DataFrame)
+            else contamination_check(surv, probes, text_col=text_col)
+        )
+        cq_drops = materialize(
+            flagged.filter("contaminated")
+            .select("doc_id", F.lit("contaminated").alias("drop_reason"))
+            .unionByName(
+                text_profile(surv, text_col=text_col)
+                .filter((F.col("score") < quality_min) | F.col("score").isNull())
+                .select("doc_id", F.lit("low_quality").alias("drop_reason"))
+            )
+        )
+        drops.append(cq_drops)
+    elif probes is not None:
         surv = survivors()
         flagged = (
             contamination_join(surv, probes, text_col=text_col)
@@ -1222,8 +1251,7 @@ def clean_corpus(
             .select("doc_id", F.lit("contaminated").alias("drop_reason"))
         )
         drops.append(cont_drops)
-
-    if quality_min is not None:
+    elif quality_min is not None:
         # NULL score = null text = no content: below any quality floor
         # (a bare `<` comparison would silently keep such docs)
         qual_drops = materialize(
@@ -1235,7 +1263,23 @@ def clean_corpus(
 
     all_drops = drops[0]
     for d in drops[1:]:
-        all_drops = all_drops.unionByName(d)  # disjoint by construction
+        all_drops = all_drops.unionByName(d)
+    if fused_cq:
+        # only the fused block can emit two reasons for one doc; keep the
+        # pipeline-order winner (contaminated). The agg shuffles only the
+        # narrow drop rows, never the corpus.
+        prec = (
+            F.when(F.col("drop_reason") == "exact_dup", 0)
+            .when(F.col("drop_reason") == "near_dup", 1)
+            .when(F.col("drop_reason") == "semantic_dup", 2)
+            .when(F.col("drop_reason") == "contaminated", 3)
+            .otherwise(4)
+        )
+        all_drops = (
+            all_drops.groupBy("doc_id")
+            .agg(F.min(F.struct(prec.alias("_p"), F.col("drop_reason").alias("drop_reason"))).alias("_s"))
+            .select("doc_id", F.col("_s.drop_reason").alias("drop_reason"))
+        )
     return ids.join(all_drops, "doc_id", "left").select(
         "doc_id", F.col("drop_reason").isNull().alias("keep"), "drop_reason"
     )
