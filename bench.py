@@ -177,7 +177,7 @@ def run_streaming_job(spark, n_turns: int, input_path: str, repeats: int = 2) ->
     return best
 
 
-HYGIENE_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_HYGIENE_MULT", "450"))
+HYGIENE_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_HYGIENE_MULT", "300"))
 
 
 def materialize_hygiene_corpus(spark, mult: int) -> str:
@@ -192,12 +192,18 @@ def materialize_hygiene_corpus(spark, mult: int) -> str:
     pipeline's ~20 sequential job submissions cost a measured ~12 s on
     this host REGARDLESS of core count or corpus size — fitting
     t(c) = f + W/c across 2/8-core runs at two corpus sizes gives
-    f ~= 12 s with the variable part scaling ~1.0). At mult=450 ->
-    2.25M docs the banded near-dup work dominates the residual floor
-    (post barrier-fusion/Arrow-CC, measured ~16-18 s at this size: pin
-    writes, AQE planning, the CC collect) enough for the parallel
-    fraction to carry a >=0.8 ratio. Both parallelism levels read the
-    identical parquet.
+    f ~= 12 s with the variable part scaling ~1.0). At mult=300 ->
+    1.5M docs the banded near-dup work dominates the residual floor
+    (post barrier-fusion/Arrow-CC ~16 s: pin writes, AQE planning, the
+    CC collect). Growing the corpus further does NOT raise the measured
+    ratio: a two-size fit (1.5M and 2.25M docs, both levels) shows the
+    MARGINAL work itself scales only ~2.1-3.0x from 2 to 8 cores here —
+    the per-stage decomposition in BENCH.md attributes that to the
+    shuffle/pin-bound stages (star candidates, eager pins), which this
+    sandbox kernel caps (its own multiprocessing probe tops out at ~3.1x
+    for IPC-bound work) while the scan/agg stages reach 3.5-3.9x. So
+    mult buys wall time, not signal, beyond ~300. Both parallelism
+    levels read the identical parquet.
 
     128 output files, not defaultParallelism: scan splits follow file
     boundaries here (the corpus is small relative to maxPartitionBytes),
