@@ -157,7 +157,7 @@ def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column |
     ).filter(F.size("_hs") > 0)
 
 
-def _star_candidates(assigned: DataFrame) -> DataFrame:
+def _star_candidates(assigned: DataFrame, size_ratio_min: float | None = None) -> DataFrame:
     """(doc_a=bucket hub, doc_b=member) star edges from a band assignment.
 
     Hub = min doc_id per (band, bkey), computed as groupBy + join-back
@@ -167,14 +167,24 @@ def _star_candidates(assigned: DataFrame) -> DataFrame:
     single task is the straggler/OOM wall. The groupBy gets map-side
     combine (bucket collapses to one row per map partition before the
     shuffle) and the join-back probe is AQE-skew-splittable — same shape
-    as clean_corpus's exact-dedup stage, chosen there for the same reason."""
-    hubs = assigned.groupBy("band", "bkey").agg(F.min("doc_id").alias("doc_a"))
-    return (
-        assigned.join(hubs, ["band", "bkey"])
-        .select("doc_a", F.col("doc_id").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    as clean_corpus's exact-dedup stage, chosen there for the same reason.
+
+    ``size_ratio_min`` (verifying callers pass their Jaccard threshold):
+    the same LOSSLESS prefilter pairs mode applies — Jaccard >= t implies
+    min/max cardinality ratio >= t for sets — so size-incompatible
+    (hub, member) edges drop BEFORE the distinct shuffle and the exact
+    verify join instead of being rejected after it. The hub's set size
+    rides out of the aggregate via min_by (no second join)."""
+    aggs = [F.min("doc_id").alias("doc_a")]
+    if size_ratio_min is not None:
+        aggs.append(F.min_by("_n", "doc_id").alias("_na"))
+    hubs = assigned.groupBy("band", "bkey").agg(*aggs)
+    joined = assigned.join(hubs, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_id"))
+    if size_ratio_min is not None:
+        joined = joined.filter(
+            F.least("_na", "_n") / F.greatest("_na", "_n") >= size_ratio_min
+        )
+    return joined.select("doc_a", F.col("doc_id").alias("doc_b")).distinct()
 
 
 def minhash_band_star_edges(
@@ -219,7 +229,9 @@ def minhash_star_near_dup_edges(
     verify reads the checkpointed sig table's hashed sets (one tokenize
     pass per corpus)."""
     _, assigned, hashed = _sig_band_table(df, text_col, bands, rows_per_band, elements)
-    return _verify_hashed_jaccard(_star_candidates(assigned), df, threshold, hashed=hashed)
+    return _verify_hashed_jaccard(
+        _star_candidates(assigned, size_ratio_min=threshold), df, threshold, hashed=hashed
+    )
 
 
 def minhash_band_candidates(
