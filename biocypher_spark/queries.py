@@ -469,14 +469,20 @@ def kg_canonicalize_blocking(spark, sf_dir):
     """,
 )
 def kg_extract_mentions(spark, sf_dir):
-    """Flagship extraction (mapInPandas) over documents-as-transcripts."""
+    """Flagship extraction (mapInPandas) over documents-as-transcripts.
+
+    ``balance=False``: ``_t`` already round-robin-rebalanced the small scan
+    to cluster width (and at scale the parquet arrives in thousands of
+    splits), so the extractor's salt repartition would be a SECOND full
+    shuffle of the document text for zero extra balance — the plan goes
+    from 2 Exchanges below MapInPandas to 1 (guide §2.4)."""
     docs = _t(spark, sf_dir, "documents")
     transcripts = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         F.col("text"),
     )
-    mentions = extract_mentions(transcripts, patterns={"op": _GAZETTEER})
+    mentions = extract_mentions(transcripts, patterns={"op": _GAZETTEER}, balance=False)
     return mentions.select(F.col("conv_id").cast("bigint").alias("doc_id"), "surface")
 
 
@@ -493,14 +499,36 @@ def kg_extract_mentions(spark, sf_dir):
 )
 def kg_cooccurrence_triples(spark, sf_dir):
     """Flagship triple construction: extraction -> per-doc co-occurrence ->
-    dedup -> (subj, pred, obj)."""
-    mentions = kg_extract_mentions(spark, sf_dir).select("doc_id", F.col("surface").alias("w")).distinct()
-    a = mentions.alias("a")
-    b = mentions.alias("b")
+    dedup -> (subj, pred, obj).
+
+    Pair generation is DOC-LOCAL (the zero_shuffle_evidence shape): one
+    ``collect_set`` aggregate per doc, then a JVM array expansion of the
+    sorted set into its ordered pairs. The former self-join formulation
+    ran the mapInPandas extraction in BOTH join branches (two Python
+    stages, four corpus-text Exchanges at sf0.1) and shuffled the mention
+    table twice; this plan extracts once and shuffles only narrow
+    (doc_id, surface) aggregate rows (guide §2.3-2.4). The per-doc set is
+    bounded by the gazetteer vocabulary, so the expansion is O(v^2) with
+    tiny v — never corpus-quadratic. Same rows: a sorted distinct set's
+    ordered pairs are exactly the a.w < b.w join pairs."""
+    mentions = kg_extract_mentions(spark, sf_dir).select("doc_id", F.col("surface").alias("w"))
+    per_doc = mentions.groupBy("doc_id").agg(F.array_sort(F.collect_set("w")).alias("_ws"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ws"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ws"), i + 2, F.greatest(F.size("_ws") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+            ),
+        )
+    )
     return (
-        a.join(b, "doc_id")
-        .filter(F.col("a.w") < F.col("b.w"))
-        .select(F.col("a.w").alias("subj"), F.lit("CO_OCCURS_WITH").alias("pred"), F.col("b.w").alias("obj"))
+        per_doc.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.subj").alias("subj"),
+            F.lit("CO_OCCURS_WITH").alias("pred"),
+            F.col("p.obj").alias("obj"),
+        )
         .distinct()
     )
 

@@ -817,7 +817,29 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
       planned); beyond that the join shuffles narrow gram rows, never
       bodies.
     """
-    lens = [r[0] for r in probes.select(F.length(probe_col).alias("l")).distinct().collect()]
+    # ONE bounded driver action decides the strategy for small probe sets:
+    # a limit(_PROBE_SCAN_MAX+1) sample of probe LENGTHS. If it returns
+    # <= _PROBE_SCAN_MAX rows it IS the whole table, so both the count and
+    # the distinct lengths are known with no further jobs; only genuinely
+    # large probe tables pay a second (single) aggregation pass for exact
+    # lengths+count — previously three separate driver jobs (lengths
+    # distinct collect + two capped counts) re-derived the probe table per
+    # screen (guide §1.2: don't compute things you throw away). The driver
+    # still only ever sees probe LENGTHS and a row count, never probe text.
+    sample = probes.select(F.length(probe_col).alias("_l")).limit(_PROBE_SCAN_MAX + 1).collect()
+    if len(sample) <= _PROBE_SCAN_MAX:
+        lens = {r["_l"] for r in sample}
+        n_probes = len(sample)
+    else:
+        # large table: exact distinct lengths + count in ONE aggregation
+        # (the old shape paid a full distinct-lengths scan AND a capped
+        # count scan; one agg pass answers both)
+        row = probes.agg(
+            F.collect_set(F.length(probe_col)).alias("_ls"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        lens = set(row["_ls"])  # collect_set drops NULLs == NULL probes ignored
+        n_probes = row["_n"]
     if 0 in lens:
         # empty-string probe: contains(text, '') is true for every doc —
         # match contamination_check instead of silently dropping the probe
@@ -825,9 +847,6 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     lengths = sorted(l for l in lens if l)  # NULL probes ignored, like check
     if not lengths:
         return df.select("doc_id", F.lit(False).alias("contaminated"))
-    # bounded count probe: limit() caps the scan, so a billion-row probe
-    # table costs one partition-local limit, not a full count
-    n_probes = probes.limit(_PROBE_SCAN_MAX + 1).count()
     if n_probes <= _PROBE_SCAN_MAX:
         hit_docs = (
             df.select("doc_id", text_col)
@@ -843,7 +862,7 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
             F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
         )
         probe_keys = probes.select(F.col(probe_col).alias("g")).distinct()
-        if probes.limit(_PROBE_BROADCAST_MAX + 1).count() <= _PROBE_BROADCAST_MAX:
+        if n_probes <= _PROBE_BROADCAST_MAX:
             probe_keys = F.broadcast(probe_keys)
         hit_docs = grams.join(probe_keys, "g", "semi").select("doc_id").distinct()
     return (
@@ -877,6 +896,7 @@ def _sig_band_table(
     rows_per_band: int,
     elements: Column | None = None,
     need_hashed: bool = True,
+    pin_sigs: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """(sigs, band_assignment, hashed) for one corpus — the SHARED
     signature stage of the whole banded-minhash family (pairs, star edges,
@@ -911,7 +931,17 @@ def _sig_band_table(
     materialization instead of being checkpointed itself — tokenize+hash
     still runs exactly once (inside the one sig pass), but the per-doc
     hash arrays are never written to or pinned in executor storage with
-    zero downstream readers; the third return value is None."""
+    zero downstream readers; the third return value is None.
+
+    ``pin_sigs=False`` (single-consumer callers: the cross-corpus screens,
+    where ``assigned`` feeds exactly ONE band join and ``sigs`` has no
+    other reader): the sig projection stays lazy — the one consumer
+    evaluates it once inside its own job, so the eager pin would be a pure
+    extra job submission + executor-storage write with no reuse to pay for
+    it. Multi-consumer callers (pair self-joins, star hub chains, est-
+    prefilter attaches) keep the pin: without it each consumer would
+    rescan the FAT hashed table (checkpointed rows cannot be column-
+    pruned) and recompute the b*r affine mins."""
     seeds = bands * rows_per_band
     hashed_expr = hashed_element_set(df, text_col=text_col, elements=elements)
     hashed = materialize(hashed_expr) if need_hashed else hashed_expr
@@ -919,14 +949,16 @@ def _sig_band_table(
     def affine(a: int, b: int):
         return lambda h: (h * a + b) % _MINHASH_PRIME
 
-    sigs = materialize(hashed.select(
+    sigs = hashed.select(
         "doc_id",
         F.size("_hs").alias("_n"),
         *[
             F.array_min(F.transform("_hs", affine(a, b))).alias(f"sig{i}")
             for i, (a, b) in enumerate(minhash_affine_params(seeds))
         ],
-    ))
+    )
+    if pin_sigs:
+        sigs = materialize(sigs)
     # bkey = xxhash64 over the band's sig ints (band id salted in), not a
     # string concat: the band table feeds ~3 shuffles per consumer
     # (hub groupBy / self-join / distinct), and an 8-byte long vs a
@@ -980,7 +1012,12 @@ def reference_band_sigs(
     the screens that consume it — band keys from different banding
     parameters never collide correctly, they just miss candidates.
     """
-    _, br, _ = _sig_band_table(reference, text_col, bands, rows_per_band, need_hashed=False)
+    # lazy end-to-end (pin_sigs=False): the caller's write/persist is the
+    # single consumer, so an eager localCheckpoint before it would double
+    # the work
+    _, br, _ = _sig_band_table(
+        reference, text_col, bands, rows_per_band, need_hashed=False, pin_sigs=False
+    )
     return br.select(*REFERENCE_SIGS_COLUMNS)
 
 
@@ -1017,7 +1054,13 @@ def near_dedup_against(
     the id-semi-joined candidate verify — which amortizes the recurring
     100-TB screen across shards. Persist it bucketed on (band, bkey) to
     also drop the reference-side Exchange from every screen's join."""
-    _, ba, hha = _sig_band_table(df, text_col, bands, rows_per_band)
+    # pin_sigs=False on BOTH sides: each side's band table feeds exactly one
+    # join (the cross-corpus candidate join inside the pairs pin), so the
+    # sig projections evaluate lazily inside that one job — two fewer eager
+    # pin jobs per screen with identical downstream plans. The shard's FAT
+    # hashed table stays pinned (its verify join reads it; one tokenize
+    # pass per shard, the round-3 invariant).
+    _, ba, hha = _sig_band_table(df, text_col, bands, rows_per_band, pin_sigs=False)
     if reference_sigs is not None:
         missing = [c for c in REFERENCE_SIGS_COLUMNS if c not in reference_sigs.columns]
         if missing:
@@ -1039,7 +1082,9 @@ def near_dedup_against(
             )
         br = reference_sigs
     else:
-        _, br, _ = _sig_band_table(reference, text_col, bands, rows_per_band, need_hashed=False)
+        _, br, _ = _sig_band_table(
+            reference, text_col, bands, rows_per_band, need_hashed=False, pin_sigs=False
+        )
     a_side = ba.select("band", "bkey", F.col("doc_id").alias("_da"), F.col("_n").alias("_na"))
     r_side = br.select("band", "bkey", F.col("doc_id").alias("_dr"), F.col("_n").alias("_nb"))
     pairs = materialize(
