@@ -1205,6 +1205,9 @@ def emb_near_dup(spark, sf_dir):
             max_bucket_size=_ND_CAP,
             df_buckets=bk.filter(F.col("vec_id") % _ND_XC_MOD != 0),
             ref_buckets=bk.filter(F.col("vec_id") % _ND_XC_MOD == 0),
+            # the union keeps only flagged rows, so the per-vector left
+            # join inside the operator is dead weight here (round 6)
+            matched_only=True,
         )
         .filter("dup_of_ref")
         .select(

@@ -27,16 +27,44 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-# NOTE (round 3): an unrolled element_at dot product (64 explicit terms in
-# a plain Project) was prototyped as a codegen replacement for the _dot
-# fold and A/B-measured SLOWER-or-equal in embedding_near_dup's verify —
-# per-element bounds checks and generated-method size eat the
-# interpreted-lambda saving. The folds stay (they are also the only shape
-# that survives inside Generate; see _bucket_expr).
+# NOTE (round 3, partially superseded in round 6): an unrolled element_at
+# dot product (64 explicit terms in a plain Project) was prototyped as a
+# codegen replacement for the _dot fold and A/B-measured SLOWER-or-equal
+# in embedding_near_dup's verify — per-element array accesses pay a
+# null/bounds branch each, which eats the interpreted-lambda saving when
+# the array is indexed per PAIR. Round 6 found the split that wins: UNPACK
+# each vector once per corpus ROW into scalar element columns
+# (`_unpack_cols`), so the per-PAIR dot (`_unrolled_dot`) is pure column
+# arithmetic with zero array accesses — array-access cost moves from
+# O(pairs × dims) to O(rows × dims), and pairs >> rows. A/B at sf0.1
+# (468,630 verify pairs): verify 1.5-2.0 s -> 0.6-0.8 s warm, identical
+# 484 output rows (bit-equal arithmetic: the fold's
+# ((0.0 + x0*y0) + x1*y1) + ... left-association is exactly the unrolled
+# sum's). The same rewrite was A/B'd for the BUCKET projections and LOST
+# (fold 0.19 s vs 0.40 s — per-row single evaluation, nothing to amortize;
+# see _bucket_expr), so the _dot/_norm folds remain for every
+# once-per-row site.
 
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _unpack_cols(df: DataFrame, dims: int, vec_col: str, prefix: str) -> list[Column]:
+    """Scalar element columns ``{prefix}0..{prefix}{dims-1}`` of an array
+    vector — evaluated once per ROW so that per-PAIR dot products downstream
+    are pure column arithmetic (no array access, no interpreted lambda)."""
+    return [F.get(F.col(vec_col), i).alias(f"{prefix}{i}") for i in range(dims)]
+
+
+def _unrolled_dot(dims: int, a_prefix: str, b_prefix: str) -> Column:
+    """``sum_i a_i * b_i`` over unpacked element columns, left-associated
+    from 0.0 with both sides cast to double — the exact operation sequence
+    of the ``_dot`` fold, in whole-stage codegen."""
+    expr: Column = F.lit(0.0)
+    for i in range(dims):
+        expr = expr + F.col(f"{a_prefix}{i}").cast("double") * F.col(f"{b_prefix}{i}").cast("double")
+    return expr
 
 
 def _safe_cos(dot: Column, denom: Column) -> Column:
@@ -111,10 +139,13 @@ def _bucket_expr(signs_list: list[list[int]], vec_col: str) -> Column:
     """Integer bucket id from sign bits of the given hyperplane projections.
 
     The projection stays a ``zip_with``+``aggregate`` fold: an unrolled
-    ``0.0 ± v[0] ± v[1] ...`` expression was measured SLOWER — 64
-    projections × 64 terms overflow Janino's 64 KB method limit (inside a
-    Generate it hard-fails codegen; even as a split Project it loses to the
-    fold), so the fold is the fastest portable formulation here.
+    ``0.0 ± v[0] ± v[1] ...`` expression was measured SLOWER — round 3 at
+    64 projections × 64 terms (Janino 64 KB hard-fail inside Generate),
+    and RE-measured in round 6 at the current 16-projection shape via
+    ``F.get`` scalar sums (fold 0.19 s vs unrolled 0.40 s warm noop on the
+    sf0.1 assignment table) — the per-element null-safe branches cost more
+    than the interpreted-lambda overhead they replace at this width. The
+    fold is the fastest portable formulation here.
 
     Guarded against a dims/data mismatch: zip_with pads the shorter array
     with NULLs, every projection would fold to NULL, and `when(proj >= 0)`
@@ -387,21 +418,27 @@ def embedding_near_dup(
         .distinct()
     )
     # precompute each vector's norm ONCE (N fold evaluations) instead of
-    # per candidate pair (2 per pair, and pairs >> N): the per-pair work
-    # drops to the dot product alone. cosine = dot/(na*nb) uses the exact
-    # same subexpressions as the inline formulation, so results (and the
-    # oracle hash) are bit-identical. An unrolled 64-term element_at dot
-    # was A/B-measured here and did NOT beat the fold (round 3) — per-call
-    # bounds checks and codegen size eat the interpreted-lambda saving;
-    # keep the fold (see also the Janino note on _bucket_expr).
-    with_norm = embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_n"))
+    # per candidate pair (2 per pair, and pairs >> N), and UNPACK the
+    # vector into scalar element columns once per row — the per-pair work
+    # is then a pure-codegen multiply-add chain with zero array accesses
+    # (see the round-6 note at the top of this module: verify 3.0 s ->
+    # 0.6 s on 468k pairs at sf0.1). cosine = dot/(na*nb) runs the exact
+    # same double operations in the same order as the inline fold, so
+    # results (and the oracle hash) are bit-identical.
+    with_norm = embeddings.select(
+        "vec_id", _norm(F.col(vec_col)).alias("_n"), *_unpack_cols(embeddings, dims, vec_col, "_x")
+    )
     ea = with_norm.select(
-        F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"), F.col("_n").alias("_na")
+        F.col("vec_id").alias("va"),
+        F.col("_n").alias("_na"),
+        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dims)],
     )
     eb = with_norm.select(
-        F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"), F.col("_n").alias("_nb")
+        F.col("vec_id").alias("vb"),
+        F.col("_n").alias("_nb"),
+        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dims)],
     )
-    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_eb")), F.col("_na") * F.col("_nb")), 6)
+    cos = F.round(_safe_cos(_unrolled_dot(dims, "_a", "_b"), F.col("_na") * F.col("_nb")), 6)
     return (
         cand.join(ea, "va")
         .join(eb, "vb")
@@ -421,6 +458,7 @@ def embedding_dedup_against(
     vec_col: str = "embedding",
     df_buckets: DataFrame | None = None,
     ref_buckets: DataFrame | None = None,
+    matched_only: bool = False,
 ) -> DataFrame:
     """Cross-corpus EMBEDDING near-dedup: flag vectors of ``df`` (the new
     crawl) whose cosine with ANY vector of ``reference`` (the existing
@@ -465,24 +503,41 @@ def embedding_dedup_against(
         "tbl", "bucket", F.col("vec_id").alias("ref_id")
     )
     cand = a.join(r_ok, ["tbl", "bucket"]).select("vec_id", "ref_id").distinct()
-    # norms precomputed once per corpus (N fold evaluations, not 2 per pair)
-    wa = df.select("vec_id", F.col(vec_col).alias("_ea"), _norm(F.col(vec_col)).alias("_na"))
-    wr = reference.select(
-        F.col("vec_id").alias("ref_id"), F.col(vec_col).alias("_er"), _norm(F.col(vec_col)).alias("_nr")
+    # norms precomputed once per corpus (N fold evaluations, not 2 per
+    # pair); vectors unpacked to scalar columns so the per-pair dot is
+    # pure codegen arithmetic (same round-6 rewrite as embedding_near_dup)
+    wa = df.select(
+        "vec_id", _norm(F.col(vec_col)).alias("_na"), *_unpack_cols(df, dims, vec_col, "_a")
     )
-    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_er")), F.col("_na") * F.col("_nr")), 6)
+    wr = reference.select(
+        F.col("vec_id").alias("ref_id"),
+        _norm(F.col(vec_col)).alias("_nr"),
+        *_unpack_cols(reference, dims, vec_col, "_b"),
+    )
+    cos = F.round(_safe_cos(_unrolled_dot(dims, "_a", "_b"), F.col("_na") * F.col("_nr")), 6)
     matches = (
         cand.join(wa, "vec_id")
         .join(wr, "ref_id")
         .select("vec_id", "ref_id", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("ref_id"))
-    best = (
-        matches.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
+    # best match per vec_id as ONE hash aggregate instead of a row_number
+    # window (exchange + full sort) — max over struct (cos ASC-to-max,
+    # -ref_id ASC-to-max == ref_id min) reproduces the former
+    # (cos DESC, ref_id ASC) pick exactly, including NaN-first (Spark
+    # orders NaN greatest in both max() and DESC sorts), gets map-side
+    # combine, and skips the sort. (vec_id, ref_id) is unique (cand is
+    # distinct), so the tie-break is total. Round-6 change; A/B'd in
+    # emb_near_dup's 'against' arm.
+    best = matches.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("ref_id")).alias("_nr"), F.col("ref_id"))).alias("_b")
+    ).select("vec_id", F.col("_b.ref_id").alias("ref_id"), F.col("_b.cos").alias("cos"))
+    if matched_only:
+        # callers that immediately filter to dup_of_ref=true (e.g. the
+        # tagged-union bench query) skip the per-vector left join: the
+        # matched rows ARE the flagged rows, so the join's two exchanges
+        # and the full-corpus id scan buy nothing
+        return best.select("vec_id", F.lit(True).alias("dup_of_ref"), "ref_id", "cos")
     return (
         df.select("vec_id")
         .join(best, "vec_id", "left")

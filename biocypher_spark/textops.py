@@ -522,8 +522,8 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
     Hamming similarity anyway; catch those with exact dedup first.
     """
     # the 64-bit hash is expensive (64 vote aggregates per row) and consumed
-    # by 2 + bands branches below — materialize the tiny (doc_id, hash) table
-    # once instead of recomputing it per branch
+    # by both sides of the band self-join below — materialize the tiny
+    # (doc_id, hash) table once instead of recomputing it per branch
     nonempty = df.filter(F.exists(tokens(F.col(text_col)), lambda t: t != ""))
     sh = materialize(simhash64(nonempty, text_col))
     width = 16 // bands  # hex chars per band
@@ -531,32 +531,35 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
         F.struct(F.lit(b).alias("band"), F.substring("simhash64", b * width + 1, width).alias("bkey"))
         for b in range(bands)
     ]
-    assigned = sh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
-    a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"))
-    c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"))
-    cand = (
-        a.join(c, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # Hamming verify on PACKED words: each 16-hex-char hash becomes two
-    # 32-bit ints (one conv() each, done once per doc on the tiny sig table),
-    # then per candidate pair the distance is xor + 8 shift/mask nibble
-    # popcount lookups per word — all integer codegen. The previous
-    # formulation decoded 16 hex digits per side per pair with
-    # instr+substring string ops (~4x more expression work on the pair
-    # table, which is the big side of this query).
-    def _words(col: str, prefix: str):
-        return [
-            F.conv(F.substring(col, 1 + 8 * w, 8), 16, 10).cast("long").alias(f"{prefix}{w}")
+    # Hamming verify on PACKED words carried THROUGH the band self-join:
+    # each 16-hex-char hash becomes two 32-bit ints (one conv() each, done
+    # once per doc on the tiny sig table BEFORE the band explode), and per
+    # collision pair the distance is xor + 8 shift/mask nibble popcount
+    # lookups per word — all integer codegen. Carrying the two longs in
+    # the join (+16 B/side) replaces the former post-distinct double join
+    # back to the sig table (2 joins = 4 Exchanges at scale) — for simhash
+    # the verify is pure integer work, so verifying the (slightly
+    # duplicated) pre-distinct collision pairs inline is cheaper than a
+    # pair-table shuffle that existed only to dedup before an expensive
+    # verify; the distinct moves to the (tiny) post-filter output, where
+    # rows are unique per pair because hamming is functional on the pair.
+    # (Contrast minhash_banded_pairs, where the verify joins element
+    # ARRAYS — there the dedup-before-verify stays.) A/B at sf0.1:
+    # 4.51 -> 2.9 s, identical rows; plan 8 Exchanges -> 5.
+    words = sh.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("simhash64", 1 + 8 * w, 8), 16, 10).cast("long").alias(f"_w{w}")
             for w in range(2)
-        ]
-
-    ha = sh.select(F.col("doc_id").alias("doc_a"), *_words("simhash64", "_a"))
-    hb = sh.select(F.col("doc_id").alias("doc_b"), *_words("simhash64", "_b"))
+        ],
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc_id", "_w0", "_w1", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = words.select(
+        "band", "bkey", F.col("doc_id").alias("doc_a"), F.col("_w0").alias("_a0"), F.col("_w1").alias("_a1")
+    )
+    c = words.select(
+        "band", "bkey", F.col("doc_id").alias("doc_b"), F.col("_w0").alias("_b0"), F.col("_w1").alias("_b1")
+    )
     hamming = F.lit(0)
     for w in range(2):
         x = F.col(f"_a{w}").bitwiseXOR(F.col(f"_b{w}"))
@@ -564,10 +567,11 @@ def simhash_near_dup(df: DataFrame, text_col: str = "text", max_hamming: int = 3
             nib = F.shiftright(x, 4 * k).bitwiseAND(F.lit(15))
             hamming = hamming + F.substr(F.lit(_POPCOUNT4), nib + 1, F.lit(1)).cast("int")
     return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
+        a.join(c, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
