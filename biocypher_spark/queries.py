@@ -37,7 +37,9 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, materialize: bool = False) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, materialize: bool = False, rebalance: bool = True
+) -> DataFrame:
     """Read a testdata table; small single-split inputs are rebalanced to
     the cluster width (see below). ``materialize=True`` additionally
     localCheckpoints the rebalanced SMALL input — for queries that consume
@@ -45,8 +47,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str, materialize: bool = False) -
     verify sides), where the lazy rebalance would otherwise re-execute per
     branch (measured 2.4x on doc_ngram_jaccard at sf0.1). At scale the
     rebalance path never triggers, so nothing is ever materialized there —
-    multi-branch scans of a large parquet table are the normal plan."""
+    multi-branch scans of a large parquet table are the normal plan.
+
+    ``rebalance=False`` (round 6): queries whose per-row work is trivial —
+    relational scans feeding an aggregate, a window, or a broadcast join —
+    opt out of the guard entirely. For them the round-robin exchange (plus
+    its mandatory sort-before-repartition pass) costs more than the
+    parallelism buys: q3_top_orders 1.7 s -> 0.7 s warm at sf0.1 once its
+    three inputs stop being shuffled before the joins, and every such
+    query's first shuffle (the aggregate/window exchange) redistributes
+    the rows anyway. CPU-heavy per-row paths (minhash/simhash/shingles,
+    embedding folds, Arrow Python stages) keep the default: for them a
+    single-split scan serializes the dominant cost on one core."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not rebalance:
+        return df
     # a small single-split file would run CPU-heavy per-row work (shingle
     # minhash, simhash votes, embedding math) on ONE core; rebalance rows to
     # the cluster width. At scale inputs arrive in thousands of splits and
@@ -149,7 +164,7 @@ def _part_label_map(spark, onto: Ontology) -> dict[str, str]:
 
 
 def _staged_part_nodes(spark, sf_dir) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
+    part = _t(spark, sf_dir, "part", rebalance=False)
     return part.select(
         F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("id"),
         F.col("p_type").alias("input_label"),
@@ -205,7 +220,7 @@ def kg_dedup_nodes(spark, sf_dir):
     """D1: global first-wins node dedup keyed on node_id."""
     from .dedup import dedup_nodes
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     staged = li.select(
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("node_id"),
         F.lit("part").alias("node_label"),
@@ -226,7 +241,7 @@ def kg_dedup_nodes(spark, sf_dir):
 )
 def kg_dup_metrics(spark, sf_dir):
     """D4: duplicate-occurrence metrics."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     node_id = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
     return (
         li.groupBy(node_id.alias("dup_id"))
@@ -248,7 +263,7 @@ def kg_dup_metrics(spark, sf_dir):
 )
 def kg_rel_as_node(spark, sf_dir):
     """T2: rel-as-node 1->3 explode with synthesized node ids."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", rebalance=False)
     staged = orders.select(
         F.lit(None).cast("string").alias("id"),
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
@@ -272,15 +287,15 @@ def kg_rel_as_node(spark, sf_dir):
 def kg_statistics(spark, sf_dir):
     """D7: per-type node counts through the graph layer."""
     nodes = (
-        _t(spark, sf_dir, "part")
+        _t(spark, sf_dir, "part", rebalance=False)
         .select(F.concat(F.lit("p"), "p_partkey").alias("node_id"), F.lit("part").alias("node_label"))
         .unionByName(
-            _t(spark, sf_dir, "customer").select(
+            _t(spark, sf_dir, "customer", rebalance=False).select(
                 F.concat(F.lit("c"), "c_custkey").alias("node_id"), F.lit("customer").alias("node_label")
             )
         )
         .unionByName(
-            _t(spark, sf_dir, "supplier").select(
+            _t(spark, sf_dir, "supplier", rebalance=False).select(
                 F.concat(F.lit("s"), "s_suppkey").alias("node_id"), F.lit("supplier").alias("node_label")
             )
         )
@@ -300,7 +315,7 @@ def kg_statistics(spark, sf_dir):
 )
 def kg_topk_types(spark, sf_dir):
     """D8: top-k type summary with deterministic tie-break."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     nodes = li.select(
         F.concat("l_orderkey", F.lit("_"), "l_linenumber").alias("node_id"),
         F.concat("l_returnflag", "l_linestatus").alias("node_label"),
@@ -319,7 +334,7 @@ def kg_topk_types(spark, sf_dir):
 )
 def kg_graph_neighbors(spark, sf_dir):
     """G2: neighbor lookup via edge join."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer", rebalance=False)
     edges = cust.select(
         F.concat(F.lit("c"), "c_custkey").alias("source_id"),
         F.concat(F.lit("n"), "c_nationkey").alias("target_id"),
@@ -341,8 +356,8 @@ def kg_graph_neighbors(spark, sf_dir):
 )
 def kg_graph_paths(spark, sf_dir):
     """G3: bounded path enumeration from 'r0' (region->nation->customer)."""
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation", rebalance=False)
+    cust = _t(spark, sf_dir, "customer", rebalance=False)
     edges = nation.select(
         F.concat(F.lit("r"), "n_regionkey").alias("source_id"),
         F.concat(F.lit("n"), "n_nationkey").alias("target_id"),
@@ -372,8 +387,8 @@ def kg_graph_paths(spark, sf_dir):
 )
 def kg_connected_components(spark, sf_dir):
     """G4: iterative-join connected components on the geo forest."""
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation", rebalance=False)
+    cust = _t(spark, sf_dir, "customer", rebalance=False)
     edges = nation.select(
         F.concat(F.lit("n"), "n_nationkey").alias("src"), F.concat(F.lit("r"), "n_regionkey").alias("dst")
     ).unionByName(
@@ -400,7 +415,7 @@ def kg_label_closure(spark, sf_dir):
         parent_map={"economy part": "part", "standard part": "part", "part": "named thing"},
     )
     amap = _part_label_map(spark, onto)
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
+    part = _t(spark, sf_dir, "part", rebalance=False).filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
     expr = F.when(F.col("p_type") == "ECONOMY", F.lit(amap["ECONOMY"])).otherwise(F.lit(amap["STANDARD"]))
     return part.select(F.col("p_type").alias("input_label"), expr.alias("label_string"))
 
@@ -431,7 +446,7 @@ def kg_ontology_file(spark, sf_dir):
         onto = Ontology(_part_schema_mapping(), hierarchy_file=str(p), root="named_thing")
     amap = _part_label_map(spark, onto)
     depth = {t: len(onto.get_ancestors(t.lower() + " part")) for t in amap}
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
+    part = _t(spark, sf_dir, "part", rebalance=False).filter(F.col("p_type").isin(*amap)).select("p_type").distinct()
     lbl = F.when(F.col("p_type") == "ECONOMY", F.lit(amap["ECONOMY"])).otherwise(F.lit(amap["STANDARD"]))
     dep = F.when(F.col("p_type") == "ECONOMY", F.lit(depth["ECONOMY"])).otherwise(F.lit(depth["STANDARD"]))
     return part.select(
@@ -453,7 +468,7 @@ def kg_ontology_file(spark, sf_dir):
 )
 def kg_canonicalize_blocking(spark, sf_dir):
     """Linking stage 1: normalized-key blocking -> canonical representative."""
-    part = _t(spark, sf_dir, "part")
+    part = _t(spark, sf_dir, "part", rebalance=False)
     w = Window.partitionBy(normalize_surface(F.col("p_name")))
     return part.select(
         "p_partkey",
@@ -1383,7 +1398,7 @@ def media_frame_sample(spark, sf_dir):
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1409,9 +1424,9 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_top_orders(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer", rebalance=False).filter(F.col("c_mktsegment") == "FURNITURE")
+    o = _t(spark, sf_dir, "orders", rebalance=False)
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     return (
         F.broadcast(c)
@@ -1436,7 +1451,7 @@ def q3_top_orders(spark, sf_dir):
     """,
 )
 def events_windowed(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", rebalance=False)
     win = F.floor(_epoch(F.col("ts")) / 600).cast("long")
     return ev.groupBy("event_type", win.alias("win")).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -1458,7 +1473,7 @@ def events_windowed(spark, sf_dir):
     """,
 )
 def events_sessionize(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", rebalance=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(_epoch(F.col("ts"))).over(w)
     new_session = F.when(prev.isNull() | (_epoch(F.col("ts")) - prev > 1800), 1).otherwise(0)
@@ -1484,7 +1499,7 @@ def kg_edge_dedup(spark, sf_dir):
     """D2: per-(type, src_tgt-key) edge dedup through the dedup operator."""
     from .dedup import dedup_edges
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     staged = li.select(
         F.lit(None).cast("string").alias("relationship_id"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("source_id"),
@@ -1918,7 +1933,7 @@ def _kg_hyperedges(spark, sf_dir):
     """G1 hyperedges: per-order hyperedge over its distinct parts, expanded
     back through SparkGraph.hyperedge_membership (reference HyperEdge API,
     _graph.py:99-124, 415-491)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     part_id = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
     hyper = (
         li.groupBy("l_orderkey")
@@ -1946,7 +1961,7 @@ def _kg_hyperedges(spark, sf_dir):
 def _kg_remove_node(spark, sf_dir):
     """G1 removal: remove_node drops the nodes and every touching edge via
     anti-joins (reference _graph.py:215-255)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", rebalance=False)
     edges = orders.select(
         F.concat(F.lit("c"), "o_custkey").alias("source_id"),
         F.concat(F.lit("o"), "o_orderkey").alias("target_id"),
@@ -1962,7 +1977,7 @@ def _kg_remove_node(spark, sf_dir):
 def _kg_subgraph(spark, sf_dir):
     """G1 subgraph: induced edges where BOTH endpoints are kept
     (reference _graph.py:631-655)."""
-    nation = _t(spark, sf_dir, "nation")
+    nation = _t(spark, sf_dir, "nation", rebalance=False)
     edges = nation.select(
         F.concat(F.lit("n"), "n_nationkey").alias("source_id"),
         F.concat(F.lit("r"), "n_regionkey").alias("target_id"),
@@ -1982,7 +1997,7 @@ def _kg_subgraph(spark, sf_dir):
 
 def _kg_edges_between(spark, sf_dir):
     """G1: get_edges_between via the graph layer (all edges out of c7)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", rebalance=False)
     edges = orders.select(
         F.concat(F.lit("c"), "o_custkey").alias("source_id"),
         F.concat(F.lit("o"), "o_orderkey").alias("target_id"),

@@ -282,11 +282,13 @@ def minhash_band_candidates(
     ``jac >= threshold`` filter over the hashed sets — one int per row buys
     skipping the exact array join for every size-incompatible candidate.
 
-    Join-shape notes (measured ~1.4x on the whole query at sf0.1):
-    - The band self-join carries ONLY (doc_id, _n): every extra column is
-      copied into each of the ~100x-more-numerous pre-filter collision
-      pairs. Signatures are attached AFTER the distinct, by joining the
-      tiny per-doc signature table twice (AQE broadcasts it).
+    Join-shape notes:
+    - WITHOUT the agreement prefilter the band self-join carries ONLY
+      (doc_id, _n): every extra column is copied into each of the
+      ~100x-more-numerous pre-filter collision pairs. WITH it, the sig
+      vector rides on the band rows so the (96%-selective at sf0.1)
+      agreement filter runs BEFORE the pair distinct — see
+      :func:`_band_candidates` for the round-6 measurement.
     - Signatures are INDIVIDUAL int columns, so the agreement estimate
       compiles to a whole-stage-codegen sum of equality flags; an array +
       zip_with formulation runs interpreted HOF lambdas per pair.
@@ -294,39 +296,79 @@ def minhash_band_candidates(
     sigs, assigned, _ = _sig_band_table(
         df, text_col, bands, rows_per_band, elements, need_hashed=False
     )
-    return _band_candidates(sigs, assigned, bands * rows_per_band, est_min_matches, size_ratio_min)
+    return _band_candidates(sigs, assigned, bands, rows_per_band, est_min_matches, size_ratio_min)
+
+
+def _band_struct_array(bands: int, rows_per_band: int) -> Column:
+    """The (band, bkey) struct array for one sig row — bkey is the xxhash64
+    over the band's sig ints, band id salted in (see _sig_band_table for
+    why a long key, not a string concat)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.lit(b), *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
 
 
 def _band_candidates(
     sigs: DataFrame,
     assigned: DataFrame,
-    seeds: int,
+    bands: int,
+    rows_per_band: int,
     est_min_matches: int,
     size_ratio_min: float | None,
 ) -> DataFrame:
     """Candidate-pair core over a prebuilt (sigs, assigned) — see
     :func:`minhash_band_candidates` for the algorithm and join-shape
-    rationale."""
-    carry = ["_n"] if size_ratio_min is not None else []
-    a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"), *[F.col("_n").alias("_na") for _ in carry])
-    c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"), *[F.col("_n").alias("_nb") for _ in carry])
-    pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
-    if size_ratio_min is not None:
-        # cheapest filter first: two int comparisons per collision pair
-        ratio = F.least("_na", "_nb") / F.greatest("_na", "_nb")
-        pairs = pairs.filter(ratio >= size_ratio_min)
-    pairs = pairs.select("doc_a", "doc_b").distinct()
+    rationale.
+
+    With the signature-agreement prefilter on (``est_min_matches`` > 0),
+    the full signature vector rides ON the band rows and both prefilters
+    (size ratio, then agreement) run INLINE in the collision join's output
+    stage, BEFORE the pair distinct — both are row-local predicates, so
+    filter-then-distinct and distinct-then-filter produce the same pair
+    set, but the agreement filter is the selective one (554k -> 21k pairs
+    at sf0.1 on the shingle corpus vs the distinct removing only 10%), so
+    running it first shrinks the distinct exchange ~25x and drops the two
+    post-distinct sig-attach joins entirely (round 6: candidate stage
+    1.5-2.3 s -> ~0.6 s). The wider band rows cost bands × seeds ints per
+    doc in the band-join shuffle — linear in corpus size — traded against
+    a pair-table exchange that is quadratic in collision density."""
+    seeds = bands * rows_per_band
+    carry_n = size_ratio_min is not None
     if est_min_matches > 0:
-        sal = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig{i}").alias(f"_a{i}") for i in range(seeds)])
-        sbl = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig{i}").alias(f"_b{i}") for i in range(seeds)])
+        # rebuild the band rows WITH the sig columns from the pinned narrow
+        # sig table (one extra consumer of the pin, no extra scan of the
+        # fat hashed table)
+        wide = sigs.select("doc_id", "_n", *[f"sig{i}" for i in range(seeds)],
+                           F.explode(_band_struct_array(bands, rows_per_band)).alias("bk")).select(
+            "doc_id", "_n", *[f"sig{i}" for i in range(seeds)],
+            F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        a = wide.select("band", "bkey", F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"),
+                        *[F.col(f"sig{i}").alias(f"_a{i}") for i in range(seeds)])
+        c = wide.select("band", "bkey", F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"),
+                        *[F.col(f"sig{i}").alias(f"_b{i}") for i in range(seeds)])
+        pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
+        if carry_n:
+            # cheapest filter first: two int comparisons per collision pair
+            pairs = pairs.filter(F.least("_na", "_nb") / F.greatest("_na", "_nb") >= size_ratio_min)
         agree = sum(
             (F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(seeds)),
             start=F.lit(0),
         )
-        pairs = (
-            pairs.join(sal, "doc_a").join(sbl, "doc_b").filter(agree >= est_min_matches).select("doc_a", "doc_b")
-        )
-    return pairs
+        return pairs.filter(agree >= est_min_matches).select("doc_a", "doc_b").distinct()
+    a = assigned.select("band", "bkey", F.col("doc_id").alias("doc_a"), *([F.col("_n").alias("_na")] if carry_n else []))
+    c = assigned.select("band", "bkey", F.col("doc_id").alias("doc_b"), *([F.col("_n").alias("_nb")] if carry_n else []))
+    pairs = a.join(c, ["band", "bkey"]).filter(F.col("doc_a") < F.col("doc_b"))
+    if carry_n:
+        # cheapest filter first: two int comparisons per collision pair
+        ratio = F.least("_na", "_nb") / F.greatest("_na", "_nb")
+        pairs = pairs.filter(ratio >= size_ratio_min)
+    return pairs.select("doc_a", "doc_b").distinct()
 
 
 def _est_min_matches(threshold: float, est_slack: float, seeds: int) -> int:
@@ -355,7 +397,7 @@ def minhash_banded_pairs(
     :func:`hashed_element_set` for why)."""
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
     sigs, assigned, hashed = _sig_band_table(df, text_col, bands, rows_per_band)
-    cand = _band_candidates(sigs, assigned, bands * rows_per_band, emm, threshold)
+    cand = _band_candidates(sigs, assigned, bands, rows_per_band, emm, threshold)
     return _verify_hashed_jaccard(cand, df, threshold, hashed=hashed)
 
 
@@ -448,7 +490,7 @@ def ngram_jaccard_pairs(
     sh = shingles(F.col(text_col), n)
     emm = _est_min_matches(threshold, est_slack, bands * rows_per_band)
     sigs, assigned, hashed = _sig_band_table(df, text_col, bands, rows_per_band, elements=sh)
-    cand = _band_candidates(sigs, assigned, bands * rows_per_band, emm, threshold)
+    cand = _band_candidates(sigs, assigned, bands, rows_per_band, emm, threshold)
     return _verify_hashed_jaccard(cand, df, threshold, hashed=hashed)
 
 
@@ -1003,18 +1045,9 @@ def _sig_band_table(
     # DuckDB oracle included, sees the same pair set; a 2^-64 xxhash
     # collision could only ADD a candidate, which exact verification
     # then rejects).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.lit(b), *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    assigned = sigs.select("doc_id", "_n", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", "_n", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
+    assigned = sigs.select(
+        "doc_id", "_n", F.explode(_band_struct_array(bands, rows_per_band)).alias("bk")
+    ).select("doc_id", "_n", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     return sigs, assigned, (hashed if need_hashed else None)
 
 
