@@ -229,7 +229,12 @@ def ivf_assign(
     """
     if cents is None:
         cents = _collect_centroids(embeddings, n_centroids, vec_col)
-    return embeddings.select("vec_id", _ivf_cluster_expr(cents, vec_col).alias("cluster"))
+    # vector norm in its own projection (single fold per row, kept apart
+    # from its k consumers by CollapseProject's non-cheap rule), centroid
+    # norms as driver literals — see _ivf_cluster_expr
+    return embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_nv")).select(
+        "vec_id", _ivf_cluster_expr(cents, vec_col, norm_col="_nv").alias("cluster")
+    )
 
 
 def _collect_centroids(embeddings: DataFrame, n_centroids: int, vec_col: str) -> list:
@@ -288,10 +293,44 @@ def train_ivf_centroids(
     return cents
 
 
-def _ivf_cluster_expr(cents, vec_col: str) -> Column:
-    cos_cols = [
-        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])) for vec in cents
-    ]
+def _py_dot(a, b) -> float:
+    """Driver-side replica of the ``_dot`` fold (same accumulation order,
+    same IEEE doubles — see :func:`_py_norm`)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _py_norm(vec) -> float:
+    """Driver-side replica of the ``_norm`` fold: same accumulation order
+    (((0.0 + x0^2) + x1^2) + ...), same IEEE doubles (Python floats ARE
+    C doubles; sqrt is correctly rounded in both runtimes), so the value
+    is bit-identical to evaluating ``_norm(lit array)`` in Spark — which
+    lets centroid norms become literals instead of a per-row 64-term fold
+    re-evaluated for every centroid on every corpus row (round 6)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    import math
+
+    return math.sqrt(acc)
+
+
+def _ivf_cluster_expr(cents, vec_col: str, norm_col: str | None = None) -> Column:
+    """Max-cosine centroid id. ``norm_col``: name of a column already
+    holding ``_norm(vec_col)`` — the vector's norm fold is then evaluated
+    ONCE per row instead of once per centroid, and each centroid's norm is
+    a driver-computed literal (:func:`_py_norm`); identical doubles, ~2.4x
+    less per-row fold work at 4 centroids."""
+    vnorm = F.col(norm_col) if norm_col is not None else None
+    cos_cols = []
+    for vec in cents:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        if vnorm is not None:
+            cos_cols.append(_safe_cos(_dot(F.col(vec_col), arr), vnorm * F.lit(_py_norm(vec))))
+        else:
+            cos_cols.append(cosine(F.col(vec_col), arr))
     best = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
     expr = F.when(cos_cols[0] == best, F.lit(0))
     for j in range(1, len(cos_cols)):
@@ -313,28 +352,49 @@ def ivf_topk(
     is pruned to the probed clusters before the exact cosine top-k. Pass
     ``cents`` (e.g. from :func:`train_ivf_centroids`) for a trained
     quantizer."""
-    qrows = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()
+    if cents is None:
+        # ONE driver action for query vector + seed centroids (tagged
+        # union; the centroid branch's sort order is restored by the
+        # vec_id sort below) — formerly two sequential collect jobs
+        low = (
+            embeddings.orderBy("vec_id").limit(n_centroids)
+            .select(F.lit(0).alias("_w"), "vec_id", vec_col)
+        )
+        qq = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.lit(1).alias("_w"), "vec_id", vec_col
+        )
+        rows = low.unionByName(qq).collect()
+        qrows = [r for r in rows if r["_w"] == 1]
+        cent_rows = sorted((r for r in rows if r["_w"] == 0), key=lambda r: r["vec_id"])
+        if not cent_rows:
+            raise ValueError("ivf: embeddings frame is empty, cannot derive centroids")
+        cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    else:
+        qrows = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()
     if not qrows:
         raise ValueError(f"ivf: query vec_id {query_vec_id} not found")
-    qvec = F.array(*[F.lit(float(x)) for x in qrows[0][0]])
-    if cents is None:
-        cents = _collect_centroids(embeddings, n_centroids, vec_col)
-    # rank centroids for the query INSIDE Spark arithmetic (same fold order
-    # as assignment) on a one-row frame, then collect the probe ids
-    spark = embeddings.sparkSession
-    one = spark.range(1)
-    probe_cols = [
-        cosine(qvec, F.array(*[F.lit(float(x)) for x in vec])).alias(f"c{j}")
-        for j, vec in enumerate(cents)
+    qlist = [float(x) for x in qrows[0][vec_col]]
+    qvec = F.array(*[F.lit(x) for x in qlist])
+    # rank centroids for the query DRIVER-side: _py_dot/_py_norm replicate
+    # the Spark folds' accumulation order on the same IEEE doubles, so the
+    # scores (and the probe pick) are bit-identical to the former one-row
+    # Spark job — one driver action fewer per query (round 6)
+    scores = [
+        _py_dot(qlist, vec) / (_py_norm(qlist) * _py_norm(vec)) if _py_norm(qlist) * _py_norm(vec) != 0.0 else 0.0
+        for vec in cents
     ]
-    scores = one.select(*probe_cols).collect()[0]
     probes = [j for j, _ in sorted(enumerate(scores), key=lambda js: (-js[1], js[0]))[:nprobe]]
     # cluster as an inline expression: the probed-list restriction is a
-    # FILTER on the scan, not a join against a separate assignment table
-    cand = embeddings.filter(
-        _ivf_cluster_expr(cents, vec_col).isin(probes) & (F.col("vec_id") != query_vec_id)
+    # FILTER on the scan, not a join against a separate assignment table;
+    # the row norm is computed once per row and shared by the cluster expr
+    # and the final query cosine (query norm is a driver literal)
+    qn = _py_norm(qlist)
+    base = embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_nv"))
+    cand = base.filter(
+        _ivf_cluster_expr(cents, vec_col, norm_col="_nv").isin(probes)
+        & (F.col("vec_id") != query_vec_id)
     )
-    cos = cosine(F.col(vec_col), qvec)
+    cos = _safe_cos(_dot(F.col(vec_col), qvec), F.col("_nv") * F.lit(qn))
     return (
         cand.select("vec_id", cos.alias("_cos"))
         .orderBy(F.desc("_cos"), F.asc("vec_id"))
@@ -384,7 +444,7 @@ def embedding_near_dup(
     within-bucket join). Buckets larger than ``max_bucket_size`` are dropped
     deterministically (they are degenerate regions where LSH gives no
     selectivity); the bucket-size histogram is tiny (tables × 2^planes rows)
-    and broadcast. Candidates are deduped across tables, then exactly
+    and broadcast. Candidate pairs are exactly
     re-scored with the full cosine, so precision is exact.
 
     Expected candidate volume per table ≈ N²/2^planes; with the cap it is
@@ -411,12 +471,14 @@ def embedding_near_dup(
     capped = assigned.join(F.broadcast(ok_buckets), ["tbl", "bucket"])
     a = capped.select("tbl", "bucket", F.col("vec_id").alias("va"))
     b = capped.select("tbl", "bucket", F.col("vec_id").alias("vb"))
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
-    )
+    # NO distinct here (round 6): cross-table duplicate collisions are rare
+    # (~7% at sf0.1 — 500k pre- vs 468k post-distinct), the verify below is
+    # pure codegen arithmetic, and deduping 484 verified output rows costs
+    # nothing next to an exchange+aggregate over the full candidate table;
+    # the post-filter distinct keeps the returned pair set exactly unique
+    # (cos is functional on the pair, so row-level distinct == pair
+    # distinct).
+    cand = a.join(b, ["tbl", "bucket"]).filter(F.col("va") < F.col("vb")).select("va", "vb")
     # precompute each vector's norm ONCE (N fold evaluations) instead of
     # per candidate pair (2 per pair, and pairs >> N), and UNPACK the
     # vector into scalar element columns once per row — the per-pair work
@@ -444,6 +506,7 @@ def embedding_near_dup(
         .join(eb, "vb")
         .select("va", "vb", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
+        .distinct()
     )
 
 
@@ -502,7 +565,12 @@ def embedding_dedup_against(
     r_ok = r.join(F.broadcast(ok), ["tbl", "bucket"]).select(
         "tbl", "bucket", F.col("vec_id").alias("ref_id")
     )
-    cand = a.join(r_ok, ["tbl", "bucket"]).select("vec_id", "ref_id").distinct()
+    # NO candidate distinct (round 6): duplicate (vec_id, ref_id) collision
+    # rows across tables carry identical cos through the cheap codegen
+    # verify and collapse inside the best-match aggregate below — the
+    # distinct was an exchange over the full candidate table spent
+    # deduplicating what the groupBy deduplicates anyway.
+    cand = a.join(r_ok, ["tbl", "bucket"]).select("vec_id", "ref_id")
     # norms precomputed once per corpus (N fold evaluations, not 2 per
     # pair); vectors unpacked to scalar columns so the per-pair dot is
     # pure codegen arithmetic (same round-6 rewrite as embedding_near_dup)
@@ -526,9 +594,10 @@ def embedding_dedup_against(
     # -ref_id ASC-to-max == ref_id min) reproduces the former
     # (cos DESC, ref_id ASC) pick exactly, including NaN-first (Spark
     # orders NaN greatest in both max() and DESC sorts), gets map-side
-    # combine, and skips the sort. (vec_id, ref_id) is unique (cand is
-    # distinct), so the tie-break is total. Round-6 change; A/B'd in
-    # emb_near_dup's 'against' arm.
+    # combine, and skips the sort. Duplicate (vec_id, ref_id) rows from
+    # cross-table collisions carry identical cos, so the struct max is
+    # total and the aggregate doubles as the candidate dedup. Round-6
+    # change; A/B'd in emb_near_dup's 'against' arm.
     best = matches.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("ref_id")).alias("_nr"), F.col("ref_id"))).alias("_b")
     ).select("vec_id", F.col("_b.ref_id").alias("ref_id"), F.col("_b.cos").alias("cos"))

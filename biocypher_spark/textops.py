@@ -848,14 +848,13 @@ _PROBE_BROADCAST_MAX = 1_000_000
 
 
 def _probe_stats(probes: DataFrame, probe_col: str) -> tuple[set, int]:
-    """(distinct probe lengths, probe row count) with the minimum driver
-    work: ONE bounded limit-sample action answers both for tables up to
-    ``_PROBE_SCAN_MAX`` rows (the sample IS the table then); larger tables
-    pay one aggregation pass. The driver only ever sees LENGTHS and a
-    count, never probe text."""
-    sample = probes.select(F.length(probe_col).alias("_l")).limit(_PROBE_SCAN_MAX + 1).collect()
-    if len(sample) <= _PROBE_SCAN_MAX:
-        return {r["_l"] for r in sample}, len(sample)
+    """(distinct probe lengths, probe row count) in ONE driver action: a
+    single aggregation pass answers both questions for every table size.
+    (A former limit-sample fast path for small tables was removed in
+    round 6: when the table was small the sample cost the same full scan
+    the aggregate does, and when it was large the aggregate ran anyway —
+    the limit job was a pure extra action on every screen.) The driver
+    only ever sees LENGTHS and a count, never probe text."""
     row = probes.agg(
         F.collect_set(F.length(probe_col)).alias("_ls"),
         F.count(F.lit(1)).alias("_n"),
@@ -932,11 +931,27 @@ def contamination_join(df: DataFrame, probes: DataFrame, text_col: str = "text",
             .select("doc_id", _contains_any(text_col).alias("contaminated"))
         )
     else:
-        gram_arrays = [shingles(F.col(text_col), n) for n in lengths]
-        grams = df.select(
-            "doc_id",
-            F.explode(F.flatten(F.array(*gram_arrays))).alias("g"),
-        )
+        # grams via explode-positions + substring on the EXPLODED rows:
+        # whole-stage codegen end to end, vs the former per-doc shingle
+        # HOF (transform + substr lambdas run interpreted). Emits per-doc
+        # duplicate grams where the HOF array_distinct'd them — harmless
+        # (hit docs are distinct'd below) and cheaper than the per-doc
+        # distinct (A/B at sf0.1, 5M grams: 1.03 -> 0.90 s warm, identical
+        # output). Bodies still never shuffle: the gram stream feeds only
+        # the (broadcast) semi join.
+        gram_streams = []
+        for n in lengths:
+            pos = F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+            ).alias("_p")
+            gram_streams.append(
+                df.select("doc_id", text_col, pos)
+                .select("doc_id", F.substr(F.col(text_col), F.col("_p"), F.lit(n)).alias("g"))
+                .filter(F.length("g") == n)
+            )
+        grams = gram_streams[0]
+        for other in gram_streams[1:]:
+            grams = grams.unionByName(other)
         probe_keys = probes.select(F.col(probe_col).alias("g")).distinct()
         if n_probes <= _PROBE_BROADCAST_MAX:
             probe_keys = F.broadcast(probe_keys)
