@@ -124,6 +124,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 _MINHASH_PRIME = 4294967311  # smallest prime above 2^32
+# star-mode verify: max hub-id rows shipped as a broadcast semi-join build
+# to prune the hub side of the verify join (same order as
+# _PROBE_BROADCAST_MAX)
+_STAR_HUB_BCAST_MAX = 1_000_000
 
 
 def minhash_affine_params(seeds: int) -> list[tuple[int, int]]:
@@ -240,11 +244,27 @@ def minhash_star_near_dup_edges(
     scale path for near-dup CLUSTERING on dup-dense corpora. Same
     verification as :func:`minhash_banded_pairs`, linear edge count; the
     verify reads the checkpointed sig table's hashed sets (one tokenize
-    pass per corpus)."""
+    pass per corpus).
+
+    Round 6: the candidate edge list (narrow, linear in corpus size by the
+    star construction) is pinned, and its distinct hub ids — one per
+    verified cluster candidate, far fewer than docs on the dup-dense
+    corpora this mode exists for — prune the HUB side of the verify join
+    via a broadcast semi-join under a bounded limit-count probe (same
+    guard discipline as linking.py's canonicalize). The hub side of the
+    verify then joins cluster-count fat rows instead of the full corpus
+    hashed table, removing one corpus-sized Exchange from the chain; the
+    member side is joined FIRST so the one unavoidable fat exchange is
+    not followed by a second shuffle of the widened intermediate (see
+    _verify_hashed_jaccard). Falls back to the unpruned join when hubs
+    are not small."""
     _, assigned, hashed = _sig_band_table(df, text_col, bands, rows_per_band, elements)
-    return _verify_hashed_jaccard(
-        _star_candidates(assigned, size_ratio_min=threshold), df, threshold, hashed=hashed
-    )
+    cand = materialize(_star_candidates(assigned, size_ratio_min=threshold))
+    hashed_a = None
+    hub_ids = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    if hub_ids.limit(_STAR_HUB_BCAST_MAX + 1).count() <= _STAR_HUB_BCAST_MAX:
+        hashed_a = hashed.join(F.broadcast(hub_ids), "doc_id", "left_semi")
+    return _verify_hashed_jaccard(cand, df, threshold, hashed=hashed, hashed_a=hashed_a)
 
 
 def minhash_band_candidates(
@@ -408,19 +428,30 @@ def _verify_hashed_jaccard(
     text_col: str = "text",
     elements: Column | None = None,
     hashed: DataFrame | None = None,
+    hashed_a: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard re-score of candidate pairs over the hashed element
     sets; |A ∪ B| = |A| + |B| - |A ∩ B| for sets, so one hash-set build per
     pair instead of two (array_union was half the verify cost). Pass
     ``hashed`` (a (doc_id, _hs) frame, e.g. the checkpointed sig table's
-    columns) to verify WITHOUT re-tokenizing the corpus."""
+    columns) to verify WITHOUT re-tokenizing the corpus; ``hashed_a``
+    optionally overrides the doc_a side with a pre-pruned (small) frame —
+    star mode prunes it to hub ids. With a pruned a-side the member side
+    joins FIRST: the one unavoidable corpus-fat exchange then happens on
+    narrow candidate rows, and the a-side attach is broadcast-convertible
+    instead of a second shuffle of the array-widened intermediate."""
     base = hashed if hashed is not None else hashed_element_set(df, text_col=text_col, elements=elements)
-    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_sa"))
+    ta = (hashed_a if hashed_a is not None else base).select(
+        F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_sa")
+    )
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_sb"))
+    joined = (
+        cand.join(tb, "doc_b").join(ta, "doc_a")
+        if hashed_a is not None
+        else cand.join(ta, "doc_a").join(tb, "doc_b")
+    )
     inner = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
+        joined.select(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
