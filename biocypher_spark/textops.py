@@ -1088,9 +1088,14 @@ def _sig_band_table(
     # per-row concat+cast entirely (A/B on the 1.5M-doc hygiene corpus:
     # star candidates 4.8 -> 4.2 s warm at 8 cores, identical 5,175,322
     # candidate pairs — keys iso-collide, so every downstream join,
-    # DuckDB oracle included, sees the same pair set; a 2^-64 xxhash
-    # collision could only ADD a candidate, which exact verification
-    # then rejects).
+    # DuckDB oracle included, sees the same pair set. A 2^-64 xxhash
+    # collision is add-only in PAIRS/cross-corpus mode (a spurious
+    # candidate that exact verification then rejects); in STAR mode a
+    # collision instead MERGES two LSH buckets, so the absorbed bucket's
+    # members pair with the merged hub and can LOSE their own true-hub
+    # edge for that band — absorbed by star mode's documented
+    # lower-bound-connectivity semantics, negligible at ~2^-64 per
+    # bucket pair, but not "add-only" there (round-5 advisor note).
     assigned = sigs.select(
         "doc_id", "_n", F.explode(_band_struct_array(bands, rows_per_band)).alias("bk")
     ).select("doc_id", "_n", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
