@@ -1202,6 +1202,14 @@ def emb_near_dup(spark, sf_dir):
     # hyperplane projections (the dominant per-row cost) run once, pinned;
     # the 'against' arms are parity filters over the pinned narrow table
     bk = _materialize(_multi_table_buckets(emb, _ND_TABLES, _ND_PLANES, _DIMS, "embedding"))
+    # ONE histogram aggregate serves both arms' bucket caps (within: all
+    # rows; against: reference-parity rows) — the two downstream branches
+    # read the same Exchange (ReuseExchange), halving the histogram
+    # shuffles of the union DAG (round 6)
+    hist = bk.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.count(F.when(F.col("vec_id") % _ND_XC_MOD == 0, 1)).alias("_n_ref"),
+    )
     within = embedding_near_dup(
         emb,
         threshold=_ND_THRESHOLD,
@@ -1209,6 +1217,7 @@ def emb_near_dup(spark, sf_dir):
         planes_per_table=_ND_PLANES,
         max_bucket_size=_ND_CAP,
         buckets=bk,
+        ok_buckets=hist.filter(F.col("_n_all") <= _ND_CAP).select("tbl", "bucket"),
     ).select(F.lit("within").alias("mode"), "va", "vb", "cos")
     against = (
         embedding_dedup_against(
@@ -1223,6 +1232,7 @@ def emb_near_dup(spark, sf_dir):
             # the union keeps only flagged rows, so the per-vector left
             # join inside the operator is dead weight here (round 6)
             matched_only=True,
+            ref_ok_buckets=hist.filter(F.col("_n_ref") <= _ND_CAP).select("tbl", "bucket"),
         )
         .filter("dup_of_ref")
         .select(

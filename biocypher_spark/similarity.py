@@ -434,6 +434,7 @@ def embedding_near_dup(
     max_bucket_size: int = 1000,
     vec_col: str = "embedding",
     buckets: DataFrame | None = None,
+    ok_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded multi-table LSH.
 
@@ -454,20 +455,25 @@ def embedding_near_dup(
     (vec_id, tbl, bucket) assignment from :func:`_multi_table_buckets` with
     the SAME table/plane parameters — callers running several LSH flavours
     over one corpus (e.g. within + against in one report) pay the
-    hyperplane projections once.
+    hyperplane projections once. ``ok_buckets`` likewise supplies a
+    precomputed surviving-(tbl, bucket) table (count over ``buckets``
+    <= ``max_bucket_size``) so multi-flavour callers derive both arms'
+    caps from ONE histogram aggregate.
     """
     # the tiny (vec_id, tbl, bucket) table is materialized: it feeds the
     # size histogram AND both sides of the candidate self-join.
     assigned = buckets if buckets is not None else materialize(
         _multi_table_buckets(embeddings, num_tables, planes_per_table, dims, vec_col)
     )
-    # bucket-size histogram: at most num_tables * 2^planes rows -> broadcast
-    ok_buckets = (
-        assigned.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket_size)
-        .select("tbl", "bucket")
-    )
+    if ok_buckets is None:
+        # bucket-size histogram: at most num_tables * 2^planes rows ->
+        # broadcast
+        ok_buckets = (
+            assigned.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("tbl", "bucket")
+        )
     capped = assigned.join(F.broadcast(ok_buckets), ["tbl", "bucket"])
     a = capped.select("tbl", "bucket", F.col("vec_id").alias("va"))
     b = capped.select("tbl", "bucket", F.col("vec_id").alias("vb"))
@@ -522,6 +528,7 @@ def embedding_dedup_against(
     df_buckets: DataFrame | None = None,
     ref_buckets: DataFrame | None = None,
     matched_only: bool = False,
+    ref_ok_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus EMBEDDING near-dedup: flag vectors of ``df`` (the new
     crawl) whose cosine with ANY vector of ``reference`` (the existing
@@ -555,12 +562,19 @@ def embedding_dedup_against(
         if ref_buckets is not None
         else materialize(_multi_table_buckets(reference, num_tables, planes_per_table, dims, vec_col))
     )
-    # histogram is at most num_tables * 2^planes rows -> broadcast
+    # histogram is at most num_tables * 2^planes rows -> broadcast;
+    # ref_ok_buckets lets multi-flavour callers supply it from a shared
+    # aggregate (a bucket with zero reference rows passing the cap is
+    # harmless: the join below finds no ref rows in it either way)
     ok = (
-        r.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket_size)
-        .select("tbl", "bucket")
+        ref_ok_buckets
+        if ref_ok_buckets is not None
+        else (
+            r.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("tbl", "bucket")
+        )
     )
     r_ok = r.join(F.broadcast(ok), ["tbl", "bucket"]).select(
         "tbl", "bucket", F.col("vec_id").alias("ref_id")
