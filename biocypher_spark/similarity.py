@@ -27,44 +27,32 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-# NOTE (round 3, partially superseded in round 6): an unrolled element_at
-# dot product (64 explicit terms in a plain Project) was prototyped as a
-# codegen replacement for the _dot fold and A/B-measured SLOWER-or-equal
-# in embedding_near_dup's verify — per-element array accesses pay a
-# null/bounds branch each, which eats the interpreted-lambda saving when
-# the array is indexed per PAIR. Round 6 found the split that wins: UNPACK
-# each vector once per corpus ROW into scalar element columns
-# (`_unpack_cols`), so the per-PAIR dot (`_unrolled_dot`) is pure column
-# arithmetic with zero array accesses — array-access cost moves from
-# O(pairs × dims) to O(rows × dims), and pairs >> rows. A/B at sf0.1
-# (468,630 verify pairs): verify 1.5-2.0 s -> 0.6-0.8 s warm, identical
-# 484 output rows (bit-equal arithmetic: the fold's
-# ((0.0 + x0*y0) + x1*y1) + ... left-association is exactly the unrolled
-# sum's). The same rewrite was A/B'd for the BUCKET projections and LOST
-# (fold 0.19 s vs 0.40 s — per-row single evaluation, nothing to amortize;
-# see _bucket_expr), so the _dot/_norm folds remain for every
-# once-per-row site.
+# NOTE (round 3; re-litigated BOTH WAYS in round 6 — the folds stay): an
+# unrolled per-pair dot was prototyped twice as a codegen replacement for
+# the _dot fold in the similarity verifies.
+# - Round 3: 64 element_at terms in a plain Project — slower-or-equal
+#   (per-element bounds checks).
+# - Round 6: vectors UNPACKED once per row into 64 scalar columns, the
+#   per-pair dot a pure multiply-add chain. A micro-A/B with a PINNED
+#   candidate table won clearly (1.5-2.0 s -> 0.6-0.8 s warm on 468k
+#   pairs, bit-identical output) and the rewrite shipped — then fresh-
+#   session end-to-end profiling showed it LOSING in every regime: first
+#   executions burned ~256 JVM-CPU-s vs ~29 steady (the 130-column join
+#   plans generate large fresh classes that HotSpot must re-JIT per
+#   session, and until C2 lands they execute slowly), and even warm the
+#   production query ran 4.8-5.2 s vs 2.9-3.4 s for the fold shape (wide
+#   rows through the live candidate join cost more than the per-pair
+#   array fold they replaced; the micro-A/B's pinned narrow candidates
+#   had hidden that). Interpreted HOF eval shares long-lived
+#   already-JIT'd evaluator code, so it has NO per-session warm-up cliff.
+#   Reverted on that evidence — a bench-shaped or short-job workload
+#   measures mostly the cliff, and even steady state preferred the fold
+#   here. Keep measuring end-to-end in a fresh session before believing
+#   a micro-A/B of codegen rewrites.
 
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-
-
-def _unpack_cols(df: DataFrame, dims: int, vec_col: str, prefix: str) -> list[Column]:
-    """Scalar element columns ``{prefix}0..{prefix}{dims-1}`` of an array
-    vector — evaluated once per ROW so that per-PAIR dot products downstream
-    are pure column arithmetic (no array access, no interpreted lambda)."""
-    return [F.get(F.col(vec_col), i).alias(f"{prefix}{i}") for i in range(dims)]
-
-
-def _unrolled_dot(dims: int, a_prefix: str, b_prefix: str) -> Column:
-    """``sum_i a_i * b_i`` over unpacked element columns, left-associated
-    from 0.0 with both sides cast to double — the exact operation sequence
-    of the ``_dot`` fold, in whole-stage codegen."""
-    expr: Column = F.lit(0.0)
-    for i in range(dims):
-        expr = expr + F.col(f"{a_prefix}{i}").cast("double") * F.col(f"{b_prefix}{i}").cast("double")
-    return expr
 
 
 def _safe_cos(dot: Column, denom: Column) -> Column:
@@ -486,27 +474,21 @@ def embedding_near_dup(
     # distinct).
     cand = a.join(b, ["tbl", "bucket"]).filter(F.col("va") < F.col("vb")).select("va", "vb")
     # precompute each vector's norm ONCE (N fold evaluations) instead of
-    # per candidate pair (2 per pair, and pairs >> N), and UNPACK the
-    # vector into scalar element columns once per row — the per-pair work
-    # is then a pure-codegen multiply-add chain with zero array accesses
-    # (see the round-6 note at the top of this module: verify 3.0 s ->
-    # 0.6 s on 468k pairs at sf0.1). cosine = dot/(na*nb) runs the exact
-    # same double operations in the same order as the inline fold, so
-    # results (and the oracle hash) are bit-identical.
-    with_norm = embeddings.select(
-        "vec_id", _norm(F.col(vec_col)).alias("_n"), *_unpack_cols(embeddings, dims, vec_col, "_x")
-    )
+    # per candidate pair (2 per pair, and pairs >> N): the per-pair work
+    # drops to the dot product alone. cosine = dot/(na*nb) uses the exact
+    # same subexpressions as the inline formulation, so results (and the
+    # oracle hash) are bit-identical. The verify dot stays the FOLD over
+    # the array — see the round-6 note at the top of this module for why
+    # the unrolled unpacked-column variant was shipped and then reverted
+    # on end-to-end evidence.
+    with_norm = embeddings.select("vec_id", vec_col, _norm(F.col(vec_col)).alias("_n"))
     ea = with_norm.select(
-        F.col("vec_id").alias("va"),
-        F.col("_n").alias("_na"),
-        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dims)],
+        F.col("vec_id").alias("va"), F.col(vec_col).alias("_ea"), F.col("_n").alias("_na")
     )
     eb = with_norm.select(
-        F.col("vec_id").alias("vb"),
-        F.col("_n").alias("_nb"),
-        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dims)],
+        F.col("vec_id").alias("vb"), F.col(vec_col).alias("_eb"), F.col("_n").alias("_nb")
     )
-    cos = F.round(_safe_cos(_unrolled_dot(dims, "_a", "_b"), F.col("_na") * F.col("_nb")), 6)
+    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_eb")), F.col("_na") * F.col("_nb")), 6)
     return (
         cand.join(ea, "va")
         .join(eb, "vb")
@@ -586,17 +568,13 @@ def embedding_dedup_against(
     # deduplicating what the groupBy deduplicates anyway.
     cand = a.join(r_ok, ["tbl", "bucket"]).select("vec_id", "ref_id")
     # norms precomputed once per corpus (N fold evaluations, not 2 per
-    # pair); vectors unpacked to scalar columns so the per-pair dot is
-    # pure codegen arithmetic (same round-6 rewrite as embedding_near_dup)
-    wa = df.select(
-        "vec_id", _norm(F.col(vec_col)).alias("_na"), *_unpack_cols(df, dims, vec_col, "_a")
-    )
+    # pair); the per-pair dot stays the array fold (see the module-top
+    # round-6 note on the reverted unrolled variant)
+    wa = df.select("vec_id", F.col(vec_col).alias("_ea"), _norm(F.col(vec_col)).alias("_na"))
     wr = reference.select(
-        F.col("vec_id").alias("ref_id"),
-        _norm(F.col(vec_col)).alias("_nr"),
-        *_unpack_cols(reference, dims, vec_col, "_b"),
+        F.col("vec_id").alias("ref_id"), F.col(vec_col).alias("_er"), _norm(F.col(vec_col)).alias("_nr")
     )
-    cos = F.round(_safe_cos(_unrolled_dot(dims, "_a", "_b"), F.col("_na") * F.col("_nr")), 6)
+    cos = F.round(_safe_cos(_dot(F.col("_ea"), F.col("_er")), F.col("_na") * F.col("_nr")), 6)
     matches = (
         cand.join(wa, "vec_id")
         .join(wr, "ref_id")
